@@ -1,0 +1,21 @@
+"""Observables and analysis suite (well stats, RDF, plots)."""
+
+from flowstate_tpu.analysis.rdf import calculate_pair_correlation
+from flowstate_tpu.analysis.wells import (
+    OUTSIDE,
+    STATE_LABELS,
+    WELL_A,
+    WELL_B,
+    average_free_energy,
+    calculate_well_statistics,
+    classify_particles,
+    state_histogram_counts,
+    well_centers,
+)
+
+__all__ = [
+    "classify_particles", "calculate_well_statistics",
+    "state_histogram_counts", "average_free_energy", "well_centers",
+    "calculate_pair_correlation",
+    "WELL_A", "WELL_B", "OUTSIDE", "STATE_LABELS",
+]

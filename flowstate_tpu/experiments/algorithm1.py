@@ -1,0 +1,230 @@
+"""Hybrid Algorithm 1: pre-train the flow once, then sample with big moves.
+
+TPU-native re-design of ``hybrid_NF_MCMC/main_algorithm_1.py``:
+
+  Phase A  init + equilibrate chains           (ref :136-229)
+  Phase B  collect training configs, center    (ref :240-253)
+  Phase C  build + train the flow (fwd KLD)    (ref :276-327)
+  Phase D  testing: per chain, {BIG_MOVE_INTERVAL local steps, then one
+           flow big move with a unique sample} x BIG_MOVE_ATTEMPTS
+           (ref :375-422), acceptance history + well stats + ΔF
+           (ref :424-548)
+
+Key structural improvements over the reference (SURVEY.md §3.5/§7):
+* sample collection, training, and the entire testing loop are jitted device
+  programs; chains advance in lockstep as one batch;
+* each big-move round evaluates ALL chains' proposals/energies/log-probs in
+  a single device batch instead of one torch call per chain;
+* the flow model quirk at ref :282 (NUM_BINS passed positionally as
+  num_blocks) is fixed — ``n_blocks`` really is the residual-block count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowstate_tpu.analysis.plots import (
+    plot_acceptance_rate, plot_avg_free_energy, plot_avg_x_coordinate,
+    plot_frequency_heatmap, plot_loss, plot_multiple_avg_x_coordinates,
+    plot_pair_correlation, plot_well_statistics,
+)
+from flowstate_tpu.analysis.rdf import calculate_pair_correlation
+from flowstate_tpu.analysis.wells import calculate_well_statistics
+from flowstate_tpu.experiments.common import (
+    build_system, dump_run_artifacts, init_and_equilibrate, plot_wells,
+    setup_experiment,
+)
+from flowstate_tpu.flows import build_circular_flow
+from flowstate_tpu.mcmc import (
+    apply_big_moves, run_moves, run_production_batch, to_box_frame,
+)
+from flowstate_tpu.training import TrainConfig, train
+from flowstate_tpu.utils.config import ExperimentConfig, algorithm1_config
+
+
+def collect_training_samples(config: ExperimentConfig, spec, state):
+    """Phase B: production across chains until the training budget is met.
+
+    production_runs per chain = TRAIN_SAMPLES / C * freq moves total
+    (the reference computes ``production_runs`` at :242 then samples every
+    SAMPLING_FREQUENCY; equivalently each chain contributes
+    TRAIN_SAMPLES / C samples).
+    """
+    samples_per_chain = config.initial_training_num_samples // config.num_chains
+    state, obs = run_production_batch(spec, config.beta, state,
+                                      samples_per_chain,
+                                      config.sampling_frequency)
+    # (C, T, N, 2) -> (C*T, N, 2), then shift to the centered NF frame
+    configs_mc = np.asarray(obs.positions).reshape(
+        -1, config.num_particles, 2)
+    configs_nf = configs_mc - config.half_box  # ref :253
+    return state, configs_nf, obs
+
+
+def make_testing_step(config: ExperimentConfig, spec, model):
+    """One testing round, jitted: BIG_MOVE_INTERVAL local moves per chain,
+    then one big move per chain from a bank of proposals."""
+
+    @jax.jit
+    def testing_round(state, params, proposals_flat, log_q_new, u):
+        state = jax.vmap(
+            lambda s: run_moves(spec, config.beta, s,
+                                config.big_move_interval))(state)
+        proposals = to_box_frame(proposals_flat, config.num_particles,
+                                 config.half_box)
+        result = apply_big_moves(spec, config.beta, state, proposals,
+                                 log_q_new, model, params,
+                                 config.half_box, u)
+        return result.state, result.accepted
+
+    return testing_round
+
+
+def run(config: ExperimentConfig) -> Dict:
+    directory, logger, metrics = setup_experiment(config)
+    spec = build_system(config)
+    plot_wells(config, spec, directory)
+
+    # Phase A ------------------------------------------------------------
+    state = init_and_equilibrate(config, spec, logger)
+    metrics.log("equilibrated", chains=config.num_chains)
+
+    # Phase B ------------------------------------------------------------
+    state, train_configs, _ = collect_training_samples(config, spec, state)
+    logger.info("collected %d training samples", len(train_configs))
+    unique = np.unique(train_configs.reshape(len(train_configs), -1), axis=0)
+    logger.info("Total unique samples: %d", len(unique))
+    metrics.log("samples_collected", total=len(train_configs),
+                unique=len(unique))
+
+    # Phase C ------------------------------------------------------------
+    model = build_circular_flow(
+        config.num_particles, config.num_dim, config.half_box, K=config.K,
+        hidden_units=config.hidden_units, num_bins=config.num_bins,
+        num_blocks=config.n_blocks, net_type=config.net_type)
+    key = jax.random.key(config.master_seed + 1)
+    params = model.init_params(key)
+    logger.info("Model prepared with %d particles and %d dimensions!",
+                config.num_particles, config.num_dim)
+
+    nf_dir = os.path.join(directory, "training_rounds",
+                          "initial_training_round")
+    os.makedirs(nf_dir, exist_ok=True)
+    data = jnp.asarray(
+        train_configs.reshape(len(train_configs), -1).astype(np.float32))
+    train_cfg = TrainConfig(batch_size=config.batch_size,
+                            epochs=config.epochs, lr=config.lr,
+                            weight_decay=config.weight_decay)
+    params, _, loss_hist, loss_epoch = train(
+        model, params, data, train_cfg, jax.random.key(config.master_seed + 2),
+        epoch_callback=lambda e, l: metrics.log("train_epoch", epoch=e,
+                                                loss=l))
+    plot_loss(loss_epoch, nf_dir)
+    model.save(params, os.path.join(
+        nf_dir, "initial_model_circularspline_res_dense.pkl"))
+
+    # post-training model diagnostics (ref :332-360)
+    eval_samples = model.sample(params, jax.random.key(99),
+                                min(config.num_samples_for_analysis, 50000))
+    eval_np = np.asarray(eval_samples).reshape(-1, config.num_particles, 2)
+    np.save(os.path.join(nf_dir, "samples.npy"), eval_np + config.half_box)
+    plot_frequency_heatmap(eval_np, nf_dir, config.half_box)
+    r_vals, g_r = calculate_pair_correlation(
+        eval_np, config.num_particles, config.half_box,
+        dr=config.half_box / 50)
+    plot_pair_correlation(r_vals, g_r, nf_dir)
+
+    # Phase D ------------------------------------------------------------
+    results: Dict = {"directory": directory,
+                     "final_loss": loss_epoch[-1] if loss_epoch else None}
+    if config.testing:
+        testing_round = make_testing_step(config, spec, model)
+        c = config.num_chains
+        p_acc_history = [0.0]
+        steps_history = [0]
+        total_steps = 0
+        big_move_accepts = 0
+        big_move_attempts = 0
+        testing_positions = []  # (rounds, C, N, 2) accepted-state snapshots
+
+        move_key = jax.random.key(config.master_seed + 3)
+        for attempt in range(config.big_move_attempts):
+            move_key, k_prop, k_u = jax.random.split(move_key, 3)
+            prop_flat, log_q_new = model.sample_and_log_prob(params, k_prop, c)
+            u = jax.random.uniform(k_u, (c,))
+            state, accepted = testing_round(state, params, prop_flat,
+                                            log_q_new, u)
+            total_steps += config.big_move_interval * c
+            big_move_attempts += c
+            big_move_accepts += int(np.sum(np.asarray(accepted)))
+            p_acc_history.append(big_move_accepts / big_move_attempts)
+            steps_history.append(total_steps)
+            testing_positions.append(np.asarray(state.positions))
+            if (attempt + 1) % 100 == 0:
+                logger.info("big-move round %d/%d: p_acc=%.4f",
+                            attempt + 1, config.big_move_attempts,
+                            p_acc_history[-1])
+                metrics.log("big_move_round", round=attempt + 1,
+                            p_acc=p_acc_history[-1])
+
+        plot_acceptance_rate(p_acc_history, directory,
+                             x_values=steps_history, xlabel="MCMC Steps",
+                             base_filename="nf_acceptance_rate")
+        import csv as _csv
+        with open(os.path.join(directory, "acceptance_rate_data.csv"), "w",
+                  newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["MCMC_Steps", "Acceptance_Rate"])
+            for s, a in zip(steps_history, p_acc_history):
+                w.writerow([s, a])
+
+        # well statistics over the testing trajectory, per chain
+        testing_stack = np.stack(testing_positions, axis=1)  # (C, T, N, 2)
+        free_energy_array = []
+        for run_idx in range(c):
+            avg_x, p_a, p_b, dF, runs = calculate_well_statistics(
+                testing_stack[run_idx], 0, config.half_box, config.r0)
+            free_energy_array.append(dF)
+            run_dir = os.path.join(directory, "mc_runs",
+                                   f"run_{run_idx + 1:03d}")
+            os.makedirs(run_dir, exist_ok=True)
+            if run_idx < 10:
+                plot_well_statistics(avg_x, p_a, p_b, dF, runs,
+                                     config.half_box, run_dir)
+                plot_avg_x_coordinate(testing_stack[run_idx], run_dir,
+                                      config.half_box, run_idx + 1)
+            np.save(os.path.join(run_dir, "mc_run_testing_configs.npy"),
+                    testing_stack[run_idx])
+
+        if c >= 10:
+            plot_multiple_avg_x_coordinates(list(testing_stack[:10]),
+                                            directory)
+        svg, png, fm, fsem, fstd = plot_avg_free_energy(
+            np.asarray(free_energy_array), directory)
+        logger.info("Final mean delta F = %s", fm)
+        logger.info("Final standard error delta F = %s", fsem)
+        metrics.log("free_energy", mean=fm, sem=fsem, std=fstd)
+        results.update({"delta_f_mean": fm, "delta_f_sem": fsem,
+                        "delta_f_std": fstd,
+                        "big_move_acceptance": p_acc_history[-1]})
+    return results
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Hybrid Algorithm 1")
+    parser.add_argument("--experiment_id", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, default="results")
+    args, _ = parser.parse_known_args()
+    config = algorithm1_config(experiment_id=args.experiment_id,
+                               output_dir=args.output_dir)
+    run(config)
+
+
+if __name__ == "__main__":
+    main()

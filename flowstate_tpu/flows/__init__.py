@@ -1,0 +1,106 @@
+"""Normalizing-flow library (pure-functional, pytree params)."""
+
+from flowstate_tpu.flows.affine import (
+    AffineConstFlow,
+    AffineCoupling,
+    AffineCouplingBlock,
+    CCAffineConst,
+    MaskedAffineFlow,
+)
+from flowstate_tpu.flows.autoregressive import (
+    MADE,
+    MaskedAffineAutoregressive,
+    MaskedPiecewiseRQSAutoregressive,
+)
+from flowstate_tpu.flows.core import NormalizingFlow, build_circular_flow
+from flowstate_tpu.flows.coupling import (
+    CircularSplineCoupling,
+    CoupledRationalQuadraticSpline,
+    create_alternating_binary_mask,
+    create_mid_split_binary_mask,
+    sum_except_batch,
+)
+from flowstate_tpu.flows.distributions import (
+    DiagGaussian,
+    GaussianMixture,
+    UniformBase,
+    UniformGaussian,
+    UniformParticle,
+)
+from flowstate_tpu.flows.elementary import Planar, Radial
+from flowstate_tpu.flows.mixing import (
+    Invertible1x1Conv,
+    InvertibleAffine,
+    LULinearPermute,
+    Permute,
+)
+from flowstate_tpu.flows.nets import MLP, ResidualNet, TorusEGNN, TransformerNet
+from flowstate_tpu.flows.normalization import ActNorm, BatchNorm
+from flowstate_tpu.flows.periodic import PeriodicShift, PeriodicWrap
+from flowstate_tpu.flows.reshape import Merge, Split, Squeeze
+from flowstate_tpu.flows.sampling import HAIS
+from flowstate_tpu.flows.stochastic import (
+    DiagGaussianProposal,
+    HamiltonianMonteCarlo,
+    MetropolisHastings,
+)
+from flowstate_tpu.flows.targets import CoulombGas, DoubleWellLJ, DWNormal, SimpleLJ
+from flowstate_tpu.flows.toy_targets import (
+    CircularGaussianMixture,
+    ConditionalDiagGaussian,
+    LinearInterpolation,
+    RingMixture,
+    Sinusoidal,
+    SinusoidalGap,
+    SinusoidalSplit,
+    Smiley,
+    TwoIndependent,
+    TwoModes,
+    TwoMoons,
+    rejection_sample,
+)
+from flowstate_tpu.flows.vae import (
+    ConstDiagGaussian,
+    Dirac,
+    NNBernoulliDecoder,
+    NNDiagGaussian,
+    NNDiagGaussianDecoder,
+    NormalizingFlowVAE,
+    UniformEncoder,
+)
+
+__all__ = [
+    # model
+    "NormalizingFlow", "build_circular_flow", "NormalizingFlowVAE",
+    # couplings / splines
+    "CircularSplineCoupling", "CoupledRationalQuadraticSpline",
+    "create_alternating_binary_mask", "create_mid_split_binary_mask",
+    "sum_except_batch",
+    # affine family
+    "AffineConstFlow", "CCAffineConst", "AffineCoupling", "MaskedAffineFlow",
+    "AffineCouplingBlock",
+    # autoregressive
+    "MADE", "MaskedAffineAutoregressive", "MaskedPiecewiseRQSAutoregressive",
+    # mixing
+    "Permute", "InvertibleAffine", "LULinearPermute", "Invertible1x1Conv",
+    # elementary / norm / periodic / reshape
+    "Planar", "Radial", "ActNorm", "BatchNorm", "PeriodicWrap",
+    "PeriodicShift", "Split", "Merge", "Squeeze",
+    # stochastic + sampling
+    "MetropolisHastings", "HamiltonianMonteCarlo", "DiagGaussianProposal",
+    "HAIS",
+    # bases
+    "UniformParticle", "UniformBase", "DiagGaussian", "UniformGaussian",
+    "GaussianMixture",
+    # nets
+    "ResidualNet", "MLP", "TransformerNet", "TorusEGNN",
+    # physics targets
+    "SimpleLJ", "DoubleWellLJ", "DWNormal", "CoulombGas",
+    # toy targets / priors
+    "TwoMoons", "CircularGaussianMixture", "RingMixture", "TwoIndependent",
+    "ConditionalDiagGaussian", "TwoModes", "Sinusoidal", "SinusoidalGap",
+    "SinusoidalSplit", "Smiley", "LinearInterpolation", "rejection_sample",
+    # vae
+    "Dirac", "UniformEncoder", "ConstDiagGaussian", "NNDiagGaussian",
+    "NNDiagGaussianDecoder", "NNBernoulliDecoder",
+]

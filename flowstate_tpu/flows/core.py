@@ -1,0 +1,166 @@
+"""The NormalizingFlow model: pure-functional flow algebra.
+
+TPU-native equivalent of the reference ``NF/normflows/core.py``
+(``NormalizingFlow``, ``core.py:10-230``).  The model object holds only
+static config (base distribution + layer configs); the trainable state is a
+params pytree, so every method is a pure jittable function of
+``(params, batch)`` and the whole model vmaps/shards trivially.
+
+API parity map (reference -> here):
+  forward / forward_and_log_det     core.py:28-56
+  inverse / inverse_and_log_det     core.py:58-86
+  forward_kld                       core.py:88-103  (the fork omits the base
+      log-prob at core.py:102 — valid for the uniform base since it is
+      constant in bounds; ``include_base=True`` restores it)
+  reverse_kld                       core.py:105-142 (the fork's energy form:
+      returns (mean(E(z)) + mean(log_q), z))
+  sample                            core.py:178-196 (bare samples)
+  log_prob                          core.py:198-214
+  save / load                       core.py:216-230 (numpy npz of the pytree)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class NormalizingFlow:
+    """A chain of flow layers over a base distribution.
+
+    ``base`` must expose ``sample(key, n)`` and ``log_prob(z)``; each layer
+    config must expose ``init_params(key)``, ``forward(params, z)`` and
+    ``inverse(params, z)`` returning ``(z, log_det)``.
+    ``target`` (optional) must expose ``energy(x)`` for reverse_kld.
+    """
+
+    base: Any
+    layers: Tuple[Any, ...]
+    target: Optional[Any] = None
+
+    # ----- params --------------------------------------------------------
+
+    def init_params(self, key: jax.Array):
+        keys = jax.random.split(key, len(self.layers))
+        return tuple(layer.init_params(k)
+                     for layer, k in zip(self.layers, keys))
+
+    # ----- transforms (reference core.py:28-86) ---------------------------
+
+    def forward(self, params, z: jnp.ndarray) -> jnp.ndarray:
+        for layer, p in zip(self.layers, params):
+            z, _ = layer.forward(p, z)
+        return z
+
+    def forward_and_log_det(self, params, z: jnp.ndarray):
+        log_det = jnp.zeros(z.shape[0], dtype=z.dtype)
+        for layer, p in zip(self.layers, params):
+            z, ld = layer.forward(p, z)
+            log_det = log_det + ld
+        return z, log_det
+
+    def inverse(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        for layer, p in zip(reversed(self.layers), reversed(params)):
+            x, _ = layer.inverse(p, x)
+        return x
+
+    def inverse_and_log_det(self, params, x: jnp.ndarray):
+        log_det = jnp.zeros(x.shape[0], dtype=x.dtype)
+        for layer, p in zip(reversed(self.layers), reversed(params)):
+            x, ld = layer.inverse(p, x)
+            log_det = log_det + ld
+        return x, log_det
+
+    # ----- losses ---------------------------------------------------------
+
+    def forward_kld(self, params, x: jnp.ndarray,
+                    include_base: bool = False) -> jnp.ndarray:
+        """Max-likelihood loss; reference ``core.py:88-103``.
+
+        The fork omits the base log-prob (constant for the in-bounds uniform
+        base); pass ``include_base=True`` for the full -E[log q(x)].
+        """
+        z, log_q = self.inverse_and_log_det(params, x)
+        if include_base:
+            log_q = log_q + self.base.log_prob(z)
+        return -jnp.mean(log_q)
+
+    def reverse_kld(self, params, key: jax.Array, num_samples: int):
+        """Energy-based reverse KLD; reference ``core.py:105-142``.
+
+        Draws z ~ base, pushes through the flow accumulating -log_det, and
+        returns ``(mean(target.energy(x)) + mean(log_q), x)`` — the fork's
+        tuple form.
+        """
+        if self.target is None:
+            raise ValueError("reverse_kld requires a target with .energy()")
+        z = self.base.sample(key, num_samples)
+        log_q = jnp.zeros(num_samples, dtype=z.dtype)
+        for layer, p in zip(self.layers, params):
+            z, ld = layer.forward(p, z)
+            log_q = log_q - ld
+        energy = self.target.energy(z)
+        return jnp.mean(energy) + jnp.mean(log_q), z
+
+    # ----- sampling / density (reference core.py:178-214) ----------------
+
+    def sample(self, params, key: jax.Array, num_samples: int) -> jnp.ndarray:
+        z = self.base.sample(key, num_samples)
+        return self.forward(params, z)
+
+    def sample_and_log_prob(self, params, key: jax.Array, num_samples: int):
+        """Samples plus their log q — one pass, no extra inverse sweep.
+
+        (The reference computes sample() then log_prob() separately inside
+        ``nf_big_move``; fusing them halves the flow work per proposal.)
+        """
+        z = self.base.sample(key, num_samples)
+        log_q = self.base.log_prob(z)
+        for layer, p in zip(self.layers, params):
+            z, ld = layer.forward(p, z)
+            log_q = log_q - ld
+        return z, log_q
+
+    def log_prob(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        z, log_q = self.inverse_and_log_det(params, x)
+        return log_q + self.base.log_prob(z)
+
+    # ----- persistence (reference core.py:216-230) ------------------------
+
+    def save(self, params, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(jax.device_get(params), f)
+
+    def load(self, path: str):
+        with open(path, "rb") as f:
+            return jax.tree_util.tree_map(jnp.asarray, pickle.load(f))
+
+
+def build_circular_flow(num_particles: int, num_dim: int, half_box: float,
+                        K: int = 15, hidden_units: int = 256,
+                        num_bins: int = 32, num_blocks: int = 2,
+                        net_type: str = "residual",
+                        target: Optional[Any] = None) -> NormalizingFlow:
+    """The hybrid experiments' flow: uniform torus base + K circular couplings.
+
+    Mirrors the model construction of ``main_algorithm_1.py:276-284`` /
+    ``main_algorithm_2.py:281-295`` (without replicating the reference's
+    NUM_BINS-as-num_blocks positional mixup, SURVEY.md §7).
+    """
+    from flowstate_tpu.flows.coupling import CircularSplineCoupling
+    from flowstate_tpu.flows.distributions import UniformParticle
+
+    dim = num_particles * num_dim
+    base = UniformParticle(num_particles, num_dim, half_box)
+    layers = tuple(
+        CircularSplineCoupling(
+            features=dim, num_blocks=num_blocks, hidden_units=hidden_units,
+            ind_circ=tuple(range(dim)), num_bins=num_bins,
+            tail_bound=half_box, net_type=net_type)
+        for _ in range(K))
+    return NormalizingFlow(base=base, layers=layers, target=target)

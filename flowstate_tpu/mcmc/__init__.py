@@ -1,0 +1,51 @@
+"""Batched Metropolis MCMC engine + hybrid flow-MH moves."""
+
+from flowstate_tpu.mcmc.hybrid import (
+    BigMoveResult,
+    apply_big_moves,
+    bulk_judge_flow,
+    judge_flow,
+    nf_big_moves,
+    to_box_frame,
+    to_centered,
+)
+from flowstate_tpu.mcmc.initialise import (
+    init_alternating_wells,
+    initialise_fcc,
+    initialise_fcc_left_half,
+    initialise_fcc_right_half,
+    initialise_low_left,
+    initialise_low_right,
+)
+from flowstate_tpu.mcmc.metropolis import (
+    Observables,
+    adjust_displacement,
+    metropolis_move,
+    run_equilibration,
+    run_equilibration_batch,
+    run_moves,
+    run_moves_batch,
+    run_production,
+    run_production_batch,
+    sample_observables,
+)
+from flowstate_tpu.mcmc.observables import (
+    acceptance_fraction,
+    check_equilibration,
+    ensemble_acceptance,
+)
+from flowstate_tpu.mcmc.state import ChainState, init_chain_state, resync_energy
+
+__all__ = [
+    "ChainState", "init_chain_state", "resync_energy",
+    "metropolis_move", "run_moves", "run_moves_batch",
+    "run_production", "run_production_batch",
+    "run_equilibration", "run_equilibration_batch",
+    "adjust_displacement", "sample_observables", "Observables",
+    "nf_big_moves", "apply_big_moves", "judge_flow", "bulk_judge_flow",
+    "BigMoveResult", "to_centered", "to_box_frame",
+    "initialise_fcc", "initialise_low_left", "initialise_low_right",
+    "initialise_fcc_left_half", "initialise_fcc_right_half",
+    "init_alternating_wells",
+    "check_equilibration", "acceptance_fraction", "ensemble_acceptance",
+]

@@ -1,0 +1,76 @@
+"""End-to-end smoke tests: the three drivers at demo scale.
+
+These are the framework's integration tests (the reference's only
+integration story is its demo notebooks, SURVEY.md §4); tiny budgets keep
+them CPU-fast while exercising every phase.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from flowstate_tpu.utils.config import (
+    algorithm1_config, algorithm2_config, mcmc_only_config,
+)
+
+
+def test_mcmc_only_smoke(tmp_path):
+    from flowstate_tpu.experiments import mcmc_only
+    config = mcmc_only_config(
+        experiment_id="smoke", output_dir=str(tmp_path), num_chains=4,
+        equilibration_steps=300, adjusting_frequency=100,
+        sampling_frequency=10)
+    results = mcmc_only.run(config, total_production_steps=8000)
+    assert results["samples_per_chain"] == 200
+    d = results["directory"]
+    assert os.path.exists(os.path.join(d, "params.json"))
+    assert os.path.exists(os.path.join(d, "avg_free_energy.png"))
+    assert os.path.exists(os.path.join(d, "mc_runs", "run_001",
+                                       "sampled_data.csv"))
+    assert os.path.exists(os.path.join(d, "mc_runs", "run_001",
+                                       "mc_run_configs.npy"))
+    configs = np.load(os.path.join(d, "mc_runs", "run_001",
+                                   "mc_run_configs.npy"))
+    assert configs.shape == (200, 3, 2)
+    assert np.all(configs >= 0) and np.all(configs <= 10.0)
+
+
+def test_algorithm1_smoke(tmp_path):
+    from flowstate_tpu.experiments import algorithm1
+    config = algorithm1_config(
+        experiment_id="smoke_a1", output_dir=str(tmp_path), num_chains=4,
+        equilibration_steps=200, adjusting_frequency=100,
+        sampling_frequency=10, initial_training_num_samples=64,
+        batch_size=16, epochs=2, K=2, hidden_units=16, num_bins=4,
+        big_move_attempts=3, big_move_interval=20,
+        num_samples_for_analysis=100)
+    results = algorithm1.run(config)
+    d = results["directory"]
+    assert np.isfinite(results["final_loss"])
+    assert 0.0 <= results["big_move_acceptance"] <= 1.0
+    assert os.path.exists(os.path.join(d, "nf_acceptance_rate.png"))
+    assert os.path.exists(os.path.join(d, "acceptance_rate_data.csv"))
+    assert os.path.exists(os.path.join(
+        d, "training_rounds", "initial_training_round",
+        "initial_model_circularspline_res_dense.pkl"))
+    assert "delta_f_mean" in results
+
+
+def test_algorithm2_smoke(tmp_path):
+    from flowstate_tpu.experiments import algorithm2
+    config = algorithm2_config(
+        experiment_id="smoke_a2", output_dir=str(tmp_path), num_chains=4,
+        equilibration_steps=200, adjusting_frequency=100,
+        sampling_frequency=5, initial_training_num_samples=16,
+        update_num_samples=16, batch_size=8, epochs=1, K=2,
+        hidden_units=16, num_bins=4, num_training_cycles=4,
+        checkpoint_interval=2, num_samples_for_analysis=64,
+        num_samples_for_free_energy=8)
+    results = algorithm2.run(config)
+    d = results["directory"]
+    assert 0.0 <= results["big_move_acceptance"] <= 1.0
+    assert "delta_f_mean" in results
+    assert os.path.exists(os.path.join(d, "p_acc_vs_training_samples.png"))
+    # checkpoint written at cycle 4 (= 2 * checkpoint_interval)
+    assert os.path.exists(os.path.join(d, "checkpoints", "step_00000004"))
