@@ -61,6 +61,24 @@ def main() -> None:
     moves_per_s = total_moves / dt
 
     acc = float(jnp.sum(state.accepts)) / float(jnp.sum(state.attempts))
+
+    # ESS/s: timed production run with observable sampling (energy series)
+    from flowstate_tpu.analysis import effective_sample_size
+    from flowstate_tpu.mcmc import run_production_batch
+
+    @jax.jit
+    def produce(s):
+        return run_production_batch(spec, beta, s, 64, 25)
+
+    state2, obs = produce(state)
+    _ = jax.device_get(state2.energy)
+    t0 = time.perf_counter()
+    state2, obs = produce(state2)
+    energies = jax.device_get(obs.energy_per_particle)  # (C, T)
+    dt_prod = time.perf_counter() - t0
+    ess = effective_sample_size(energies[:256])  # subsample chains for speed
+    ess_per_s = ess * (NUM_CHAINS / 256) / dt_prod
+
     print(json.dumps({
         "metric": "mc_moves_per_s",
         "value": round(moves_per_s, 1),
@@ -69,6 +87,7 @@ def main() -> None:
         "chains": NUM_CHAINS,
         "moves_per_chain": MOVES_PER_CALL * (TIMED_CALLS + 1),
         "acceptance": round(acc, 4),
+        "ess_per_s": round(ess_per_s, 1),
         "device": str(jax.devices()[0]),
     }))
 

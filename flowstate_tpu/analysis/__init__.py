@@ -1,5 +1,11 @@
 """Observables and analysis suite (well stats, RDF, plots)."""
 
+from flowstate_tpu.analysis.ess import (
+    autocorrelation,
+    effective_sample_size,
+    integrated_autocorr_time,
+    sampling_efficiency,
+)
 from flowstate_tpu.analysis.rdf import calculate_pair_correlation
 from flowstate_tpu.analysis.wells import (
     OUTSIDE,
@@ -17,5 +23,7 @@ __all__ = [
     "classify_particles", "calculate_well_statistics",
     "state_histogram_counts", "average_free_energy", "well_centers",
     "calculate_pair_correlation",
+    "effective_sample_size", "integrated_autocorr_time", "autocorrelation",
+    "sampling_efficiency",
     "WELL_A", "WELL_B", "OUTSIDE", "STATE_LABELS",
 ]

@@ -51,13 +51,26 @@ from flowstate_tpu.utils.checkpoint import save_checkpoint
 from flowstate_tpu.utils.config import ExperimentConfig, algorithm2_config
 
 
-def run(config: ExperimentConfig) -> Dict:
+def run(config: ExperimentConfig, resume: bool = False) -> Dict:
     directory, logger, metrics = setup_experiment(config)
     spec = build_system(config)
     plot_wells(config, spec, directory)
 
     state = init_and_equilibrate(config, spec, logger)
     metrics.log("equilibrated", chains=config.num_chains)
+
+    start_cycle = 0
+    restored = None
+    if resume:
+        from flowstate_tpu.mcmc import ChainState
+        from flowstate_tpu.utils.checkpoint import (
+            latest_checkpoint, restore_checkpoint,
+        )
+        ckpt = latest_checkpoint(os.path.join(directory, "checkpoints"))
+        if ckpt is not None:
+            step, path = ckpt
+            logger.info("resuming from checkpoint %s (cycle %d)", path, step)
+            restored = (step, path)
 
     # initial (small) training set -- ref :240-277
     samples_per_chain = max(
@@ -82,6 +95,15 @@ def run(config: ExperimentConfig) -> Dict:
         num_blocks=config.n_blocks, net_type=config.net_type, target=target)
     params = model.init_params(jax.random.key(config.master_seed + 1))
 
+    if restored is not None:
+        from flowstate_tpu.mcmc import ChainState
+        from flowstate_tpu.utils.checkpoint import restore_checkpoint
+        start_cycle, path = restored
+        example = {"flow": params, "chains": state._asdict()}
+        tree, _ = restore_checkpoint(path, example)
+        params = tree["flow"]
+        state = ChainState(**tree["chains"])
+
     train_cfg = TrainConfig(batch_size=config.batch_size,
                             epochs=config.epochs, lr=config.lr,
                             weight_decay=config.weight_decay,
@@ -105,7 +127,7 @@ def run(config: ExperimentConfig) -> Dict:
     new_samples_per_chain = max(
         1, config.update_num_samples // config.num_chains)
 
-    for cycle in range(config.num_training_cycles):
+    for cycle in range(start_cycle, config.num_training_cycles):
         # 1) production -- ref :399-418
         state, obs = run_production_batch(spec, config.beta, state,
                                           new_samples_per_chain,
@@ -200,10 +222,12 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="Hybrid Algorithm 2")
     parser.add_argument("--experiment_id", type=str, required=True)
     parser.add_argument("--output_dir", type=str, default="results")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the latest checkpoint")
     args, _ = parser.parse_known_args()
     config = algorithm2_config(experiment_id=args.experiment_id,
                                output_dir=args.output_dir)
-    run(config)
+    run(config, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,13 @@ from flowstate_tpu.flows.autoregressive import (
     MaskedPiecewiseRQSAutoregressive,
 )
 from flowstate_tpu.flows.core import NormalizingFlow, build_circular_flow
+from flowstate_tpu.flows.image import ActNormImage, ConvNet2d, GlowBlock
+from flowstate_tpu.flows.models import (
+    ClassCondFlow,
+    ConditionalNormalizingFlow,
+    MultiscaleFlow,
+)
+from flowstate_tpu.flows.residual import LipschitzMLP, Residual, lipswish
 from flowstate_tpu.flows.coupling import (
     CircularSplineCoupling,
     CoupledRationalQuadraticSpline,
@@ -72,6 +79,10 @@ from flowstate_tpu.flows.vae import (
 __all__ = [
     # model
     "NormalizingFlow", "build_circular_flow", "NormalizingFlowVAE",
+    "ConditionalNormalizingFlow", "ClassCondFlow", "MultiscaleFlow",
+    # residual + image
+    "Residual", "LipschitzMLP", "lipswish",
+    "GlowBlock", "ConvNet2d", "ActNormImage",
     # couplings / splines
     "CircularSplineCoupling", "CoupledRationalQuadraticSpline",
     "create_alternating_binary_mask", "create_mid_split_binary_mask",

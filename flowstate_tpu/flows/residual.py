@@ -1,0 +1,176 @@
+"""Invertible residual flows (i-ResNet) with Lipschitz-constrained nets.
+
+TPU-native equivalents of ``NF/normflows/flows/residual.py`` and
+``nets/lipschitz.py``:
+
+* ``LipschitzMLP``  — MLP of spectral-normalized linears with LipSwish
+  activations (``lipschitz.py:14-68``, ``InducedNormLinear`` :132-293).
+  Spectral norm via power iteration; the iteration vectors live in the
+  params pytree and are refreshed by the explicit ``update_lipschitz``
+  (the functional counterpart of ``utils/optim.py:28-31``).
+* ``Residual``      — the invertible residual block f(x) = x + g(x)
+  (``residual.py:12-77``) with three log-det estimators mirroring
+  ``iResBlock._logdetgrad`` (``residual.py:144-220``):
+    - ``exact``: log|det(I + J)| by full Jacobian (any small D; the
+      reference's brute_force covers only D=2),
+    - ``series``: truncated power series  sum_k (-1)^(k+1)/k tr(J^k) with
+      Hutchinson trace estimation (the biased n_power_series mode),
+  and the Banach fixed-point inverse (``residual.py:133-142``) as a fixed
+  ``lax.fori_loop`` (static iteration count — jit-friendly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flowstate_tpu.flows.nets import _linear_init
+
+
+def lipswish(x: jnp.ndarray) -> jnp.ndarray:
+    """LipSwish activation: swish / 1.1 (Lipschitz constant 1)."""
+    return jax.nn.silu(x) / 1.1
+
+
+@dataclasses.dataclass(frozen=True)
+class LipschitzMLP:
+    """MLP with spectrally-normalized weights (Lipschitz < coeff)."""
+
+    channels: Tuple[int, ...]   # (in, hidden..., out)
+    coeff: float = 0.97
+    n_power_iter: int = 1
+
+    def init_params(self, key: jax.Array):
+        keys = jax.random.split(key, len(self.channels) - 1)
+        layers = []
+        for i, k in enumerate(keys):
+            k1, k2 = jax.random.split(k)
+            lin = _linear_init(k1, self.channels[i], self.channels[i + 1])
+            u = jax.random.normal(k2, (self.channels[i + 1],))
+            layers.append({"w": lin["w"], "b": lin["b"],
+                           "u": u / jnp.linalg.norm(u)})
+        return layers
+
+    def _normalized_w(self, layer):
+        """Spectral norm estimate from the stored power-iteration vector."""
+        w, u = layer["w"], layer["u"]
+        v = w @ u
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        u_new = v @ w
+        sigma = jnp.maximum(
+            jnp.linalg.norm(u_new), 1e-12)
+        factor = jnp.minimum(1.0, self.coeff / sigma)
+        return w * factor
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        for i, layer in enumerate(params):
+            x = x @ self._normalized_w(layer) + layer["b"]
+            if i < len(params) - 1:
+                x = lipswish(x)
+        return x
+
+    def update_lipschitz(self, params, n_iterations: int = 5):
+        """Refresh the power-iteration vectors (utils/optim.py:28-31)."""
+        new = []
+        for layer in params:
+            w, u = layer["w"], layer["u"]
+            for _ in range(n_iterations):
+                v = w @ u
+                v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+                u = v @ w
+                u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+            new.append({**layer, "u": u})
+        return new
+
+
+@dataclasses.dataclass(frozen=True)
+class Residual:
+    """Invertible residual block; ref ``residual.py:12-77``.
+
+    ``reverse=True`` (reference default): ``forward`` applies the fixed-point
+    inverse of x + g(x) and ``inverse`` applies x + g(x).
+    """
+
+    net: LipschitzMLP
+    reverse: bool = True
+    estimator: str = "exact"      # 'exact' | 'series'
+    n_power_series: int = 8
+    n_trace_samples: int = 1
+    fixed_point_iters: int = 50
+    dim: int = 0                  # required for 'exact'
+
+    def init_params(self, key: jax.Array):
+        return {"net": self.net.init_params(key)}
+
+    # -- log-det estimators ------------------------------------------------
+
+    def _logdet_exact(self, params, x):
+        def g_single(v):
+            return self.net.apply(params["net"], v[None, :])[0]
+
+        def per_sample(v):
+            J = jax.jacfwd(g_single)(v)
+            _, ld = jnp.linalg.slogdet(jnp.eye(v.shape[0]) + J)
+            return ld
+
+        return jax.vmap(per_sample)(x)
+
+    def _logdet_series(self, params, x, key):
+        """Hutchinson-estimated truncated power series of tr(log(I+J))."""
+        def g(v):
+            return self.net.apply(params["net"], v)
+
+        eps = jax.random.rademacher(
+            key, (self.n_trace_samples, *x.shape), dtype=x.dtype)
+
+        def one_probe(e):
+            # iteratively compute v_k = J^k e via vjp
+            _, vjp = jax.vjp(g, x)
+            ld = jnp.zeros(x.shape[0], dtype=x.dtype)
+            v = e
+            for k in range(1, self.n_power_series + 1):
+                (v,) = vjp(v)
+                coeff = (-1.0) ** (k + 1) / k
+                ld = ld + coeff * jnp.sum(v * e, axis=-1)
+            return ld
+
+        return jnp.mean(jax.vmap(one_probe)(eps), axis=0)
+
+    def _logdetgrad(self, params, x, key=None):
+        if self.estimator == "exact":
+            return self._logdet_exact(params, x)
+        if key is None:
+            key = jax.random.key(0)
+        return self._logdet_series(params, x, key)
+
+    # -- the residual map --------------------------------------------------
+
+    def _apply_map(self, params, x):
+        g = self.net.apply(params["net"], x)
+        return x + g, self._logdetgrad(params, x)
+
+    def _inverse_fixed_point(self, params, y):
+        """Banach iteration x <- y - g(x); ref ``residual.py:133-142``."""
+        def body(_, x):
+            return y - self.net.apply(params["net"], x)
+
+        x0 = y - self.net.apply(params["net"], y)
+        return jax.lax.fori_loop(0, self.fixed_point_iters, body, x0)
+
+    def forward(self, params, z):
+        if self.reverse:
+            x = self._inverse_fixed_point(params, z)
+            _, ld = self._apply_map(params, x)
+            return x, -ld
+        return self._apply_map(params, z)
+
+    def inverse(self, params, z):
+        if self.reverse:
+            return self._apply_map(params, z)
+        x = self._inverse_fixed_point(params, z)
+        _, ld = self._apply_map(params, x)
+        return x, -ld

@@ -129,3 +129,24 @@ def test_plots_write_artifacts(tmp_path):
     cls = classify_particles(np.array([[[2.5, 5.0]] * 3]), HALF_BOX, R0)
     plot_state_histogram(cls, d)
     plot_potential(10.0, 10.0, [-10.0, -10.5], 1.2, 15.0, 2, d)
+
+
+def test_effective_sample_size():
+    from flowstate_tpu.analysis import (
+        effective_sample_size, integrated_autocorr_time,
+    )
+    rng = np.random.default_rng(0)
+    # iid series: ESS ~ N
+    iid = rng.standard_normal(4000)
+    ess = effective_sample_size(iid)
+    assert 2500 < ess < 5500, ess
+    # AR(1) with rho=0.9: tau = (1+rho)/(1-rho) = 19 -> ESS ~ N/19
+    x = np.zeros(20000)
+    for i in range(1, len(x)):
+        x[i] = 0.9 * x[i - 1] + rng.standard_normal()
+    tau = integrated_autocorr_time(x)
+    assert 12 < tau < 28, tau
+    # chain batch sums per-chain ESS
+    batch = rng.standard_normal((4, 1000))
+    ess_b = effective_sample_size(batch)
+    assert 2500 < ess_b < 5500

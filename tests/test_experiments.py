@@ -74,3 +74,30 @@ def test_algorithm2_smoke(tmp_path):
     assert os.path.exists(os.path.join(d, "p_acc_vs_training_samples.png"))
     # checkpoint written at cycle 4 (= 2 * checkpoint_interval)
     assert os.path.exists(os.path.join(d, "checkpoints", "step_00000004"))
+
+
+def test_algorithm2_resume(tmp_path):
+    """Checkpoint-resume continues the cycle loop from the stored state."""
+    from flowstate_tpu.experiments import algorithm2
+    config = algorithm2_config(
+        experiment_id="resume_a2", output_dir=str(tmp_path), num_chains=4,
+        equilibration_steps=100, adjusting_frequency=100,
+        sampling_frequency=5, initial_training_num_samples=16,
+        update_num_samples=16, batch_size=8, epochs=1, K=2,
+        hidden_units=16, num_bins=4, num_training_cycles=4,
+        checkpoint_interval=2, num_samples_for_analysis=64,
+        num_samples_for_free_energy=8)
+    algorithm2.run(config)
+    ckpt_dir = os.path.join(str(tmp_path), "resume_a2", "checkpoints")
+    assert os.path.exists(os.path.join(ckpt_dir, "step_00000004"))
+    # resume with a larger cycle budget: continues from cycle 4
+    config2 = algorithm2_config(
+        experiment_id="resume_a2", output_dir=str(tmp_path), num_chains=4,
+        equilibration_steps=100, adjusting_frequency=100,
+        sampling_frequency=5, initial_training_num_samples=16,
+        update_num_samples=16, batch_size=8, epochs=1, K=2,
+        hidden_units=16, num_bins=4, num_training_cycles=6,
+        checkpoint_interval=2, num_samples_for_analysis=64,
+        num_samples_for_free_energy=8)
+    results = algorithm2.run(config2, resume=True)
+    assert "big_move_acceptance" in results

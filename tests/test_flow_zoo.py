@@ -269,8 +269,9 @@ def test_hais_weights_estimate_normalizer():
     _, log_w = hais.sample(params, jax.random.key(37), 2048)
     log_z_est = float(jax.scipy.special.logsumexp(log_w)
                       - jnp.log(log_w.shape[0]))
-    # exact: log C + log(2 pi 0.25) - log(2 pi) = 1.7 + log(0.25)
-    exact = 1.7 + np.log(0.25)
+    # AIS estimates Z_target / Z_prior with a normalized prior, so
+    # log Z = log C + log(2 pi sigma^2) = 1.7 + log(2 pi 0.25)
+    exact = 1.7 + np.log(2 * np.pi * 0.25)
     assert abs(log_z_est - exact) < 0.25, (log_z_est, exact)
 
 

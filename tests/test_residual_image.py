@@ -1,0 +1,145 @@
+"""Tests for residual flows, image (Glow) components, and multiscale models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flowstate_tpu.flows import (
+    ActNormImage, ClassCondFlow, ConvNet2d, DiagGaussian, GlowBlock,
+    LipschitzMLP, Merge, MultiscaleFlow, Residual, UniformBase,
+)
+
+D = 4
+
+
+def test_lipschitz_mlp_is_contractive():
+    net = LipschitzMLP((D, 32, D), coeff=0.9)
+    params = net.init_params(jax.random.key(0))
+    params = net.update_lipschitz(params, n_iterations=20)
+    x = jax.random.normal(jax.random.key(1), (64, D))
+    y = jax.random.normal(jax.random.key(2), (64, D))
+    fx, fy = net.apply(params, x), net.apply(params, y)
+    ratios = (np.linalg.norm(np.asarray(fx - fy), axis=1)
+              / np.linalg.norm(np.asarray(x - y), axis=1))
+    assert np.all(ratios < 1.0), ratios.max()
+
+
+def test_residual_roundtrip_and_exact_logdet():
+    net = LipschitzMLP((D, 32, D), coeff=0.9)
+    layer = Residual(net, reverse=True, estimator="exact", dim=D)
+    params = layer.init_params(jax.random.key(3))
+    params = {"net": net.update_lipschitz(params["net"], 20)}
+    z = jax.random.normal(jax.random.key(4), (8, D))
+    y, ld = layer.forward(params, z)
+    z_back, ld_inv = layer.inverse(params, y)
+    np.testing.assert_allclose(np.asarray(z_back), np.asarray(z), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=1e-3)
+
+    # exact log-det vs autodiff Jacobian of x -> x + g(x)
+    def f(v):
+        out, _ = layer.inverse(params, v[None])  # inverse applies x + g(x)
+        return out[0]
+
+    J = jax.jacfwd(f)(z[0])
+    _, exact = np.linalg.slogdet(np.asarray(J))
+    _, ld_i = layer.inverse(params, z[:1])
+    np.testing.assert_allclose(float(ld_i[0]), exact, atol=1e-4)
+
+
+def test_residual_series_estimator_close_to_exact():
+    net = LipschitzMLP((D, 32, D), coeff=0.7)
+    params_net = net.update_lipschitz(
+        net.init_params(jax.random.key(5)), 20)
+    exact_layer = Residual(net, estimator="exact", dim=D)
+    series_layer = Residual(net, estimator="series", n_power_series=20,
+                            n_trace_samples=64)
+    params = {"net": params_net}
+    z = jax.random.normal(jax.random.key(6), (16, D))
+    _, ld_e = exact_layer.inverse(params, z)
+    _, ld_s = series_layer.inverse(params, z)
+    np.testing.assert_allclose(np.asarray(ld_s), np.asarray(ld_e), atol=0.1)
+
+
+def test_convnet2d_shapes():
+    net = ConvNet2d((2, 8, 8, 4), kernel_size=(3, 1, 3))
+    params = net.init_params(jax.random.key(7))
+    x = jax.random.normal(jax.random.key(8), (3, 2, 8, 8))
+    y = net.apply(params, x)
+    assert y.shape == (3, 4, 8, 8)
+    # zero-init final conv -> zero output at init
+    np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-6)
+
+
+def test_glow_block_roundtrip():
+    layer = GlowBlock(channels=4, hidden_channels=8)
+    params = layer.init_params(jax.random.key(9))
+    z = jax.random.normal(jax.random.key(10), (2, 4, 4, 4))
+    y, ld = layer.forward(params, z)
+    z_back, ld_inv = layer.inverse(params, y)
+    np.testing.assert_allclose(np.asarray(z_back), np.asarray(z), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=1e-4)
+
+
+def test_actnorm_image_data_init():
+    an = ActNormImage(3)
+    z = 2.0 + 1.5 * jax.random.normal(jax.random.key(11), (64, 3, 5, 5))
+    params = an.init_params_from_data(z)
+    y, _ = an.forward(params, z)
+    np.testing.assert_allclose(np.asarray(y).mean(axis=(0, 2, 3)), 0.0,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y).std(axis=(0, 2, 3)), 1.0,
+                               atol=1e-2)
+
+
+class _CondBase:
+    """Base whose log_prob shifts with the class label (one-hot y)."""
+
+    def __init__(self, dim, num_classes):
+        self.dim = dim
+        self.inner = DiagGaussian(dim, trainable=False)
+        self.num_classes = num_classes
+
+    def log_prob(self, z, y):
+        shift = y @ jnp.arange(self.num_classes, dtype=jnp.float32)[:, None]
+        return self.inner.log_prob(z - shift)
+
+    def sample(self, key, n, y):
+        shift = y @ jnp.arange(self.num_classes, dtype=jnp.float32)[:, None]
+        return self.inner.sample(key, n) + shift
+
+
+def test_class_cond_flow():
+    from flowstate_tpu.flows import AffineConstFlow
+    base = _CondBase(D, 3)
+    model = ClassCondFlow(base, (AffineConstFlow(D),))
+    params = model.init_params(jax.random.key(12))
+    x = jax.random.normal(jax.random.key(13), (6, D))
+    y = jax.nn.one_hot(jnp.array([0, 1, 2, 0, 1, 2]), 3)
+    lp = model.log_prob(params, x, y)
+    assert lp.shape == (6,)
+    loss = model.forward_kld(params, x, y)
+    assert np.isfinite(float(loss))
+    s = model.sample(params, jax.random.key(14), 6, y)
+    assert s.shape == (6, D)
+
+
+def test_multiscale_flow_roundtrip():
+    from flowstate_tpu.flows import AffineConstFlow
+    d = 8
+    bases = (DiagGaussian(d // 2, trainable=False),
+             DiagGaussian(d // 2, trainable=False))
+    flows = ((AffineConstFlow(d // 2),), (AffineConstFlow(d),))
+    merges = (Merge(mode="channel"),)
+    model = MultiscaleFlow(bases=bases, flows=flows, merges=merges)
+    params = model.init_params(jax.random.key(15))
+    x = jax.random.normal(jax.random.key(16), (5, d))
+    z_list, ld = model.inverse_and_log_det(params, x)
+    assert len(z_list) == 2
+    x_back, ld_fwd = model.forward_and_log_det(params, z_list)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld + ld_fwd), 0.0, atol=1e-5)
+    lp = model.log_prob(params, x)
+    assert np.all(np.isfinite(np.asarray(lp)))
+    s = model.sample(params, jax.random.key(17), 10)
+    assert s.shape == (10, d)
