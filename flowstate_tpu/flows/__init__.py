@@ -20,15 +20,21 @@ from flowstate_tpu.flows.models import (
     MultiscaleFlow,
 )
 from flowstate_tpu.flows.residual import LipschitzMLP, Residual, lipswish
+from flowstate_tpu.flows.base import Composite, Reverse
 from flowstate_tpu.flows.coupling import (
     CircularSplineCoupling,
     CoupledRationalQuadraticSpline,
     create_alternating_binary_mask,
     create_mid_split_binary_mask,
+    create_random_binary_mask,
     sum_except_batch,
 )
 from flowstate_tpu.flows.distributions import (
+    AffineGaussian,
+    ClassCondDiagGaussian,
     DiagGaussian,
+    GaussianPCA,
+    GlowBase,
     GaussianMixture,
     UniformBase,
     UniformGaussian,
@@ -86,7 +92,8 @@ __all__ = [
     # couplings / splines
     "CircularSplineCoupling", "CoupledRationalQuadraticSpline",
     "create_alternating_binary_mask", "create_mid_split_binary_mask",
-    "sum_except_batch",
+    "create_random_binary_mask", "sum_except_batch",
+    "Reverse", "Composite",
     # affine family
     "AffineConstFlow", "CCAffineConst", "AffineCoupling", "MaskedAffineFlow",
     "AffineCouplingBlock",
@@ -102,7 +109,8 @@ __all__ = [
     "HAIS",
     # bases
     "UniformParticle", "UniformBase", "DiagGaussian", "UniformGaussian",
-    "GaussianMixture",
+    "GaussianMixture", "ClassCondDiagGaussian", "GlowBase", "AffineGaussian",
+    "GaussianPCA",
     # nets
     "ResidualNet", "MLP", "TransformerNet", "TorusEGNN",
     # physics targets

@@ -58,6 +58,15 @@ def create_mid_split_binary_mask(features: int) -> np.ndarray:
     return mask
 
 
+def create_random_binary_mask(features: int, seed: int = 0) -> np.ndarray:
+    """Random half-ones mask; reference ``utils/masks.py:34-56``."""
+    rng = np.random.default_rng(seed)
+    mask = np.zeros(features, dtype=np.int8)
+    num = features // 2 if features % 2 == 0 else features // 2 + 1
+    mask[rng.choice(features, size=num, replace=False)] = 1
+    return mask
+
+
 def sum_except_batch(x: jnp.ndarray) -> jnp.ndarray:
     """Reference ``utils/nn.py:197``."""
     return jnp.sum(x.reshape(x.shape[0], -1), axis=-1)

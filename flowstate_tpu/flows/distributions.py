@@ -189,3 +189,134 @@ class GaussianMixture:
                 - jnp.sum(params["log_scale"], axis=-1)
                 - 0.5 * jnp.sum(z_**2, axis=-1))
         return jax.scipy.special.logsumexp(log_w + comp, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassCondDiagGaussian:
+    """Class-conditional diagonal Gaussian; ref ``base.py:278-351``.
+
+    y is one-hot (B, num_classes); per-class loc/log_scale are trainable.
+    """
+
+    dim: int
+    num_classes: int
+
+    def init_params(self):
+        return {"loc": jnp.zeros((self.num_classes, self.dim)),
+                "log_scale": jnp.zeros((self.num_classes, self.dim))}
+
+    def sample(self, key: jax.Array, num_samples: int, y,
+               params=None, temperature: Optional[float] = None):
+        params = params or self.init_params()
+        loc = y @ params["loc"]
+        log_scale = y @ params["log_scale"]
+        if temperature is not None:
+            log_scale = log_scale + jnp.log(temperature)
+        eps = jax.random.normal(key, (num_samples, self.dim))
+        return loc + jnp.exp(log_scale) * eps
+
+    def log_prob(self, z, y, params=None,
+                 temperature: Optional[float] = None):
+        params = params or self.init_params()
+        loc = y @ params["loc"]
+        log_scale = y @ params["log_scale"]
+        if temperature is not None:
+            log_scale = log_scale + jnp.log(temperature)
+        return (-0.5 * self.dim * jnp.log(2 * jnp.pi)
+                - jnp.sum(log_scale
+                          + 0.5 * ((z - loc) / jnp.exp(log_scale)) ** 2,
+                          axis=-1))
+
+
+@dataclasses.dataclass(frozen=True)
+class GlowBase:
+    """Glow base: per-channel Gaussian on (C, H, W); ref ``base.py:352-477``.
+
+    loc/log_scale are per channel, scaled by ``logscale_factor``.
+    """
+
+    shape: Tuple[int, ...]   # (C, H, W)
+    logscale_factor: float = 3.0
+
+    def init_params(self):
+        c = self.shape[0]
+        return {"loc": jnp.zeros((c,)), "log_scale_raw": jnp.zeros((c,))}
+
+    def _moments(self, params):
+        loc = params["loc"] * self.logscale_factor
+        log_scale = params["log_scale_raw"] * self.logscale_factor
+        bshape = (1, self.shape[0]) + (1,) * (len(self.shape) - 1)
+        return loc.reshape(bshape), log_scale.reshape(bshape)
+
+    def sample(self, key: jax.Array, num_samples: int, params=None,
+               temperature: Optional[float] = None):
+        params = params or self.init_params()
+        loc, log_scale = self._moments(params)
+        if temperature is not None:
+            log_scale = log_scale + jnp.log(temperature)
+        eps = jax.random.normal(key, (num_samples, *self.shape))
+        return loc + jnp.exp(log_scale) * eps
+
+    def log_prob(self, z, params=None,
+                 temperature: Optional[float] = None):
+        params = params or self.init_params()
+        loc, log_scale = self._moments(params)
+        if temperature is not None:
+            log_scale = log_scale + jnp.log(temperature)
+        d = float(np.prod(self.shape))
+        num_pix = float(np.prod(self.shape[1:]))
+        axes = tuple(range(1, len(self.shape) + 1))
+        return (-0.5 * d * jnp.log(2 * jnp.pi)
+                - num_pix * jnp.sum(log_scale)
+                - 0.5 * jnp.sum(((z - loc) / jnp.exp(log_scale)) ** 2,
+                                axis=axes))
+
+
+@dataclasses.dataclass(frozen=True)
+class AffineGaussian:
+    """Diagonal Gaussian with trainable affine scaling on a data shape;
+    ref ``base.py:479-576``: z = e^s * eps, log_p adjusted by -sum(s)."""
+
+    dim: int
+
+    def init_params(self):
+        return {"s": jnp.zeros((self.dim,))}
+
+    def sample(self, key: jax.Array, num_samples: int, params=None):
+        params = params or self.init_params()
+        eps = jax.random.normal(key, (num_samples, self.dim))
+        return jnp.exp(params["s"]) * eps
+
+    def log_prob(self, z, params=None):
+        params = params or self.init_params()
+        eps = z * jnp.exp(-params["s"])
+        return (-0.5 * self.dim * jnp.log(2 * jnp.pi)
+                - jnp.sum(params["s"])
+                - 0.5 * jnp.sum(eps**2, axis=-1))
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianPCA:
+    """Low-rank Gaussian z = W eps + mu; ref ``base.py:667-724``."""
+
+    dim: int
+    latent_dim: int
+    sigma: float = 0.1
+
+    def init_params(self, key: jax.Array):
+        return {"W": 0.1 * jax.random.normal(key,
+                                             (self.latent_dim, self.dim)),
+                "loc": jnp.zeros((self.dim,))}
+
+    def sample(self, key: jax.Array, num_samples: int, params):
+        eps = jax.random.normal(key, (num_samples, self.latent_dim))
+        return params["loc"] + eps @ params["W"]
+
+    def log_prob(self, z, params):
+        w = params["W"]
+        cov = w.T @ w + self.sigma**2 * jnp.eye(self.dim)
+        diff = z - params["loc"]
+        sol = jnp.linalg.solve(cov, diff.T).T
+        _, logdet = jnp.linalg.slogdet(cov)
+        return (-0.5 * self.dim * jnp.log(2 * jnp.pi) - 0.5 * logdet
+                - 0.5 * jnp.sum(diff * sol, axis=-1))
