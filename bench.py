@@ -21,6 +21,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+from flowstate_tpu.utils.profiling import enable_compilation_cache
+
+try:
+    enable_compilation_cache()
+except Exception:
+    pass
+
 from flowstate_tpu.mcmc import init_alternating_wells, init_chain_state
 from flowstate_tpu.mcmc.metropolis import run_moves
 from flowstate_tpu.ops import Box, SystemSpec

@@ -41,8 +41,14 @@ def setup_experiment(config: ExperimentConfig
     """Create the experiment directory tree + logger + metrics stream.
 
     Mirrors main_algorithm_1.py:80-134 (directory, experiment.log,
-    params.json) with an added metrics.jsonl.
+    params.json) with an added metrics.jsonl.  Also enables the persistent
+    compilation cache so repeated runs skip device recompiles.
     """
+    from flowstate_tpu.utils.profiling import enable_compilation_cache
+    try:
+        enable_compilation_cache()
+    except Exception:
+        pass
     directory = os.path.join(config.output_dir, config.experiment_id)
     os.makedirs(directory, exist_ok=True)
     os.makedirs(os.path.join(directory, "mc_runs"), exist_ok=True)
