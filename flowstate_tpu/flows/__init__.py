@@ -19,7 +19,12 @@ from flowstate_tpu.flows.models import (
     ConditionalNormalizingFlow,
     MultiscaleFlow,
 )
-from flowstate_tpu.flows.residual import LipschitzMLP, Residual, lipswish
+from flowstate_tpu.flows.residual import (
+    LipschitzCNN,
+    LipschitzMLP,
+    Residual,
+    lipswish,
+)
 from flowstate_tpu.flows.base import Composite, Reverse
 from flowstate_tpu.flows.coupling import (
     CircularSplineCoupling,
@@ -87,7 +92,7 @@ __all__ = [
     "NormalizingFlow", "build_circular_flow", "NormalizingFlowVAE",
     "ConditionalNormalizingFlow", "ClassCondFlow", "MultiscaleFlow",
     # residual + image
-    "Residual", "LipschitzMLP", "lipswish",
+    "Residual", "LipschitzMLP", "LipschitzCNN", "lipswish",
     "GlowBlock", "ConvNet2d", "ActNormImage",
     # couplings / splines
     "CircularSplineCoupling", "CoupledRationalQuadraticSpline",

@@ -174,3 +174,78 @@ class Residual:
         x = self._inverse_fixed_point(params, z)
         _, ld = self._apply_map(params, x)
         return x, -ld
+
+
+@dataclasses.dataclass(frozen=True)
+class LipschitzCNN:
+    """CNN of spectrally-normalized convs with LipSwish activations.
+
+    Reference ``nets/lipschitz.py:70-130`` (``LipschitzCNN`` over
+    ``InducedNormConv2d``).  Spectral norm of each conv is estimated via
+    power iteration on the full input-shaped operator (conv as a linear
+    map), vectors stored in params and refreshed by ``update_lipschitz``.
+    NCHW layout.
+    """
+
+    channels: Tuple[int, ...]          # (in, hidden..., out)
+    kernel_size: Tuple[int, ...]       # per layer, odd
+    spatial: Tuple[int, int]           # (H, W) the operator norm is taken on
+    coeff: float = 0.97
+
+    def _conv(self, w, x):
+        k = w.shape[-1]
+        pad = k // 2
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32)
+
+    def init_params(self, key: jax.Array):
+        keys = jax.random.split(key, len(self.channels) - 1)
+        layers = []
+        h, w_sp = self.spatial
+        for i, k in enumerate(keys):
+            k1, k2 = jax.random.split(k)
+            kk = self.kernel_size[i]
+            fan_in = self.channels[i] * kk * kk
+            bound = 1.0 / np.sqrt(fan_in)
+            w = jax.random.uniform(
+                k1, (self.channels[i + 1], self.channels[i], kk, kk),
+                minval=-bound, maxval=bound)
+            u = jax.random.normal(k2, (1, self.channels[i + 1], h, w_sp))
+            layers.append({"w": w, "b": jnp.zeros((self.channels[i + 1],)),
+                           "u": u / jnp.linalg.norm(u)})
+        return layers
+
+    def _sigma(self, layer):
+        """One-step power-iteration estimate of the conv operator norm."""
+        w, u = layer["w"], layer["u"]
+        # v = W^T u (transpose conv = conv with flipped, transposed kernel)
+        w_t = jnp.flip(jnp.swapaxes(w, 0, 1), axis=(-1, -2))
+        v = self._conv(w_t, u)
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        u_new = self._conv(w, v)
+        return jnp.maximum(jnp.linalg.norm(u_new), 1e-12)
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        for i, layer in enumerate(params):
+            sigma = self._sigma(layer)
+            factor = jnp.minimum(1.0, self.coeff / sigma)
+            x = self._conv(layer["w"] * factor, x) \
+                + layer["b"][None, :, None, None]
+            if i < len(params) - 1:
+                x = lipswish(x)
+        return x
+
+    def update_lipschitz(self, params, n_iterations: int = 5):
+        new = []
+        for layer in params:
+            w, u = layer["w"], layer["u"]
+            w_t = jnp.flip(jnp.swapaxes(w, 0, 1), axis=(-1, -2))
+            for _ in range(n_iterations):
+                v = self._conv(w_t, u)
+                v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+                u = self._conv(w, v)
+                u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+            new.append({**layer, "u": u})
+        return new

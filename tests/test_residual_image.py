@@ -143,3 +143,17 @@ def test_multiscale_flow_roundtrip():
     assert np.all(np.isfinite(np.asarray(lp)))
     s = model.sample(params, jax.random.key(17), 10)
     assert s.shape == (10, d)
+
+
+def test_lipschitz_cnn_contractive():
+    from flowstate_tpu.flows import LipschitzCNN
+    net = LipschitzCNN(channels=(2, 8, 2), kernel_size=(3, 3),
+                       spatial=(6, 6), coeff=0.9)
+    params = net.init_params(jax.random.key(40))
+    params = net.update_lipschitz(params, n_iterations=20)
+    x = jax.random.normal(jax.random.key(41), (4, 2, 6, 6))
+    y = jax.random.normal(jax.random.key(42), (4, 2, 6, 6))
+    fx, fy = net.apply(params, x), net.apply(params, y)
+    num = np.linalg.norm(np.asarray(fx - fy).reshape(4, -1), axis=1)
+    den = np.linalg.norm(np.asarray(x - y).reshape(4, -1), axis=1)
+    assert np.all(num / den < 1.0)
