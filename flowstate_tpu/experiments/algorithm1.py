@@ -86,7 +86,14 @@ def make_testing_step(config: ExperimentConfig, spec, model):
     return testing_round
 
 
-def run(config: ExperimentConfig) -> Dict:
+def run(config: ExperimentConfig,
+        premade_data_path: str = None) -> Dict:
+    """Run Algorithm 1.
+
+    ``premade_data_path``: optional NPZ of pre-collected configurations
+    (centered NF frame, (T, N, 2)) — skips Phase B, the equivalent of the
+    reference's ``run_algo_1_v_0.00_premade_data.ipynb`` variant.
+    """
     directory, logger, metrics = setup_experiment(config)
     spec = build_system(config)
     plot_wells(config, spec, directory)
@@ -96,7 +103,15 @@ def run(config: ExperimentConfig) -> Dict:
     metrics.log("equilibrated", chains=config.num_chains)
 
     # Phase B ------------------------------------------------------------
-    state, train_configs, _ = collect_training_samples(config, spec, state)
+    if premade_data_path is not None:
+        npz = np.load(premade_data_path)
+        arr = npz["configs"] if "configs" in npz.files else npz[npz.files[0]]
+        train_configs = np.asarray(arr).reshape(-1, config.num_particles, 2)
+        logger.info("loaded %d premade training samples from %s",
+                    len(train_configs), premade_data_path)
+    else:
+        state, train_configs, _ = collect_training_samples(config, spec,
+                                                           state)
     logger.info("collected %d training samples", len(train_configs))
     unique = np.unique(train_configs.reshape(len(train_configs), -1), axis=0)
     logger.info("Total unique samples: %d", len(unique))

@@ -101,3 +101,21 @@ def test_algorithm2_resume(tmp_path):
         num_samples_for_free_energy=8)
     results = algorithm2.run(config2, resume=True)
     assert "big_move_acceptance" in results
+
+
+def test_algorithm1_premade_data(tmp_path):
+    """A1 variant starting from saved NPZ data (reference's premade-data
+    notebook, SURVEY.md §2.3)."""
+    from flowstate_tpu.experiments import algorithm1
+    rng = np.random.default_rng(0)
+    npz_path = str(tmp_path / "premade.npz")
+    np.savez(npz_path,
+             configs=rng.uniform(-5, 5, (256, 3, 2)).astype(np.float32))
+    config = algorithm1_config(
+        experiment_id="premade_a1", output_dir=str(tmp_path), num_chains=4,
+        equilibration_steps=100, adjusting_frequency=100,
+        sampling_frequency=10, batch_size=32, epochs=1, K=2,
+        hidden_units=16, num_bins=4, big_move_attempts=2,
+        big_move_interval=20, num_samples_for_analysis=50)
+    results = algorithm1.run(config, premade_data_path=npz_path)
+    assert np.isfinite(results["final_loss"])
