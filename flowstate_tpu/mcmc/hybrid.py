@@ -94,8 +94,17 @@ def apply_big_moves(spec: SystemSpec, beta: float, state: ChainState,
     log_q_old = model.log_prob(params, old_flat)
 
     delta_e = enn - eno
-    # ratio_log = -beta dU - (NLL_new - NLL_old)   (monte_carlo.py:264-268)
-    ratio_log = -beta * delta_e - (-log_q_new + log_q_old)
+    # Independence-sampler MH ratio:
+    #   A = min(1, pi(new) q(old) / (pi(old) q(new)))
+    #     = exp(-beta dU + log q(old) - log q(new)).
+    # NOTE (documented reference BUG, not replicated): monte_carlo.py:264-268
+    # computes -beta dU - (NLL_new - NLL_old) = -beta dU + log q(new)
+    # - log q(old) — the Hastings correction INVERTED — which makes the
+    # stationary distribution proportional to pi * q^2 / ... instead of pi.
+    # Verified against exact quadrature of the partition-function ratio:
+    # with the reference's sign the sampled dF is 0.66, with the correct
+    # sign 1.49 = the exact ln(Z_B/Z_A) (see tools/exact_free_energy.py).
+    ratio_log = -beta * delta_e + (log_q_old - log_q_new)
 
     # accept if ratio >= 1 or u < ratio  (monte_carlo.py:284-287);
     # an inf proposal energy gives ratio_log = -inf -> exp 0 -> reject.
