@@ -224,9 +224,28 @@ def run(config: ExperimentConfig,
             np.asarray(free_energy_array), directory)
         logger.info("Final mean delta F = %s", fm)
         logger.info("Final standard error delta F = %s", fsem)
-        metrics.log("free_energy", mean=fm, sem=fsem, std=fstd)
+
+        # Equilibrium-window estimator: discard the first half as burn-in
+        # (the reference's cumulative-from-start estimator,
+        # utils.py:61-101, carries the 50/50 init transient).
+        half = testing_stack.shape[1] // 2
+        eq_df = []
+        for run_idx in range(c):
+            _, p_a, p_b, dF_eq, _ = calculate_well_statistics(
+                testing_stack[run_idx], half, config.half_box, config.r0)
+            eq_df.append(dF_eq[-1])
+        eq_df = np.asarray(eq_df)
+        finite = eq_df[np.isfinite(eq_df) & (eq_df != 0.0)]
+        eq_mean = float(np.mean(finite)) if len(finite) else float("nan")
+        eq_sem = (float(np.std(finite) / np.sqrt(len(finite)))
+                  if len(finite) else float("nan"))
+        logger.info("Equilibrium-window delta F = %s +- %s", eq_mean, eq_sem)
+        metrics.log("free_energy", mean=fm, sem=fsem, std=fstd,
+                    eq_mean=eq_mean, eq_sem=eq_sem)
         results.update({"delta_f_mean": fm, "delta_f_sem": fsem,
                         "delta_f_std": fstd,
+                        "delta_f_eq_mean": eq_mean,
+                        "delta_f_eq_sem": eq_sem,
                         "big_move_acceptance": p_acc_history[-1]})
     return results
 
