@@ -17,7 +17,7 @@ Layers follow the framework protocol: frozen-dataclass config with
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ evaluations, exactly the algorithmic cost of the reference's loop
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import pickle
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

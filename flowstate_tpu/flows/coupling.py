@@ -29,7 +29,7 @@ Direction convention (matches the reference wrapper):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

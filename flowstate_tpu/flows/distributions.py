@@ -20,7 +20,7 @@ first argument.  The parameter-free ones accept ``params=None``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ The LU parameterization keeps the log-determinant O(D) (sum of log
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ coordinates in the centered NF frame (the reference's ``_energy``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

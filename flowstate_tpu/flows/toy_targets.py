@@ -21,7 +21,7 @@ reference (``target.py:29-73``) is provided generically.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ TPU-native equivalents of ``NF/normflows/utils``:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

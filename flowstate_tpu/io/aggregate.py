@@ -18,7 +18,7 @@ import csv
 import ctypes
 import os
 import subprocess
-from typing import Optional, Sequence
+from typing import Optional
 
 _NATIVE_SRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native", "aggregate.cpp")

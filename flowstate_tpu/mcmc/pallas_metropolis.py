@@ -26,7 +26,6 @@ native path and the scaling vehicle for bigger particle counts.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

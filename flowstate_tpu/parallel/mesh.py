@@ -18,7 +18,6 @@ helper below works on the global device set.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional, Sequence
 
 import jax

@@ -12,7 +12,7 @@ Also covers the NPZ trainer's dedup + subsample preprocessing
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
