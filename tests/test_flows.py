@@ -204,3 +204,37 @@ def test_save_load_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(loaded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_forward_kld_base_term_flag():
+    """The fork omits the base log-prob in forward_kld (core.py:102); the
+    include_base flag restores it — constant -D log(2b) in bounds."""
+    model = _model()
+    params = model.init_params(jax.random.key(0))
+    x = jax.random.uniform(jax.random.key(1), (16, D),
+                           minval=-BOUND, maxval=BOUND)
+    loss_fork = model.forward_kld(params, x)                 # identity: 0
+    loss_full = model.forward_kld(params, x, include_base=True)
+    np.testing.assert_allclose(float(loss_fork), 0.0, atol=1e-3)
+    np.testing.assert_allclose(float(loss_full), D * np.log(2 * BOUND),
+                               atol=1e-2)
+
+
+def test_uniform_gaussian_fork_semantics():
+    """base.py:245-275 fork quirk: sample() draws uniform noise for BOTH
+    groups, log_prob returns only the uniform part."""
+    from flowstate_tpu.flows import UniformGaussian
+    d = 4
+    fork = UniformGaussian(dim=d, ind_uniform=(0, 1), scale=(2.0,) * d)
+    s = fork.sample(jax.random.key(0), 2000)
+    # gaussian-group entries are bounded (uniform draw) in fork mode
+    assert float(jnp.max(jnp.abs(s[:, 2:]))) <= 1.0 + 1e-6
+    lp = fork.log_prob(s)
+    np.testing.assert_allclose(np.asarray(lp), -2 * np.log(2.0), atol=1e-6)
+
+    fixed = UniformGaussian(dim=d, ind_uniform=(0, 1), scale=(2.0,) * d,
+                            fork_semantics=False)
+    s2 = fixed.sample(jax.random.key(0), 2000)
+    assert float(jnp.max(jnp.abs(s2[:, 2:]))) > 2.0  # actually gaussian
+    lp2 = fixed.log_prob(s2)
+    assert np.std(np.asarray(lp2)) > 0.1  # gaussian part varies
