@@ -52,7 +52,14 @@ from flowstate_tpu.flows.mixing import (
     LULinearPermute,
     Permute,
 )
-from flowstate_tpu.flows.nets import MLP, ResidualNet, TorusEGNN, TransformerNet
+from flowstate_tpu.flows.nets import (
+    MLP,
+    PeriodicFeaturesCat,
+    PeriodicFeaturesElementwise,
+    ResidualNet,
+    TorusEGNN,
+    TransformerNet,
+)
 from flowstate_tpu.flows.normalization import ActNorm, BatchNorm
 from flowstate_tpu.flows.periodic import PeriodicShift, PeriodicWrap
 from flowstate_tpu.flows.reshape import Merge, Split, Squeeze
@@ -118,6 +125,7 @@ __all__ = [
     "GaussianPCA",
     # nets
     "ResidualNet", "MLP", "TransformerNet", "TorusEGNN",
+    "PeriodicFeaturesElementwise", "PeriodicFeaturesCat",
     # physics targets
     "SimpleLJ", "DoubleWellLJ", "DWNormal", "CoulombGas",
     # toy targets / priors

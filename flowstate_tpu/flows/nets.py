@@ -24,7 +24,7 @@ accumulation in fp32.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -261,3 +261,36 @@ class TorusEGNN:
                 layer["upd"], jnp.concatenate([h, agg], axis=-1)))
         pooled = jnp.mean(h, axis=1)  # (B, H) mean-pool readout
         return _linear(params["final"], pooled)
+
+
+@dataclasses.dataclass(frozen=True)
+class PeriodicFeaturesElementwise:
+    """Standalone cos/sin featurizer; ref ``utils/nn.py:64-137`` (fork form:
+    the whole input maps to [cos(s x), sin(s x)], doubling the width)."""
+
+    ndim: int
+    scale: float = 1.0
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.concatenate([jnp.cos(self.scale * x),
+                                jnp.sin(self.scale * x)], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class PeriodicFeaturesCat:
+    """Replace selected dims with [sin(s x), cos(s x)] pairs (concatenated
+    ahead of the untouched dims); ref ``utils/nn.py:140-184``."""
+
+    ndim: int
+    ind: Tuple[int, ...]
+    scale: float = 1.0
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        idx = np.asarray(self.ind)
+        rest = np.asarray([i for i in range(self.ndim)
+                           if i not in set(self.ind)], dtype=np.int64)
+        per = x[..., idx] * self.scale
+        feats = jnp.concatenate([jnp.sin(per), jnp.cos(per)], axis=-1)
+        if len(rest):
+            feats = jnp.concatenate([feats, x[..., rest]], axis=-1)
+        return feats
