@@ -145,22 +145,71 @@ def build_circular_flow(num_particles: int, num_dim: int, half_box: float,
                         K: int = 15, hidden_units: int = 256,
                         num_bins: int = 32, num_blocks: int = 2,
                         net_type: str = "residual",
-                        target: Optional[Any] = None) -> NormalizingFlow:
+                        target: Optional[Any] = None,
+                        scan_layers: bool = True) -> NormalizingFlow:
     """The hybrid experiments' flow: uniform torus base + K circular couplings.
 
     Mirrors the model construction of ``main_algorithm_1.py:276-284`` /
     ``main_algorithm_2.py:281-295`` (without replicating the reference's
     NUM_BINS-as-num_blocks positional mixup, SURVEY.md §7).
+
+    ``scan_layers=True`` (default) applies the K identical-config layers via
+    ``lax.scan`` over stacked params — numerically identical, ~K-times
+    smaller compiled graph (a 23-layer unrolled training graph takes tens
+    of minutes to compile through the remote-TPU path; scanned, minutes).
     """
     from flowstate_tpu.flows.coupling import CircularSplineCoupling
     from flowstate_tpu.flows.distributions import UniformParticle
 
     dim = num_particles * num_dim
     base = UniformParticle(num_particles, num_dim, half_box)
-    layers = tuple(
-        CircularSplineCoupling(
-            features=dim, num_blocks=num_blocks, hidden_units=hidden_units,
-            ind_circ=tuple(range(dim)), num_bins=num_bins,
-            tail_bound=half_box, net_type=net_type)
-        for _ in range(K))
+    layer = CircularSplineCoupling(
+        features=dim, num_blocks=num_blocks, hidden_units=hidden_units,
+        ind_circ=tuple(range(dim)), num_bins=num_bins,
+        tail_bound=half_box, net_type=net_type)
+    if scan_layers:
+        layers = (ScannedLayers(layer, K),)
+    else:
+        layers = tuple(
+            dataclasses.replace(layer) for _ in range(K))
     return NormalizingFlow(base=base, layers=layers, target=target)
+
+
+@dataclasses.dataclass(frozen=True)
+class ScannedLayers:
+    """K structurally-identical layers applied via ``lax.scan``.
+
+    Compile-time optimization: the unrolled K-layer flow produces a graph
+    with K copies of the coupling body (the reference's hybrid configs use
+    K = 15-23), which is slow to compile; scanning over stacked params puts
+    ONE body in the graph.  Numerically identical to the unrolled chain —
+    asserted by tests — because every hybrid layer shares one static config
+    (the reference also stacks identical layers, main_algorithm_1.py:280-283).
+    """
+
+    layer: Any
+    K: int
+
+    def init_params(self, key: jax.Array):
+        keys = jax.random.split(key, self.K)
+        return jax.vmap(self.layer.init_params)(keys)
+
+    def forward(self, params, z):
+        def body(carry, p):
+            z, ld = carry
+            z, d = self.layer.forward(p, z)
+            return (z, ld + d), None
+
+        ld0 = jnp.zeros_like(z[:, 0])
+        (z, ld), _ = jax.lax.scan(body, (z, ld0), params)
+        return z, ld
+
+    def inverse(self, params, z):
+        def body(carry, p):
+            z, ld = carry
+            z, d = self.layer.inverse(p, z)
+            return (z, ld + d), None
+
+        ld0 = jnp.zeros_like(z[:, 0])
+        (z, ld), _ = jax.lax.scan(body, (z, ld0), params, reverse=True)
+        return z, ld

@@ -238,3 +238,31 @@ def test_uniform_gaussian_fork_semantics():
     assert float(jnp.max(jnp.abs(s2[:, 2:]))) > 2.0  # actually gaussian
     lp2 = fixed.log_prob(s2)
     assert np.std(np.asarray(lp2)) > 0.1  # gaussian part varies
+
+
+def test_scanned_layers_equal_unrolled():
+    """scan-over-layers flow == unrolled flow on identical stacked params."""
+    from flowstate_tpu.flows.core import ScannedLayers
+    layer = _layer()
+    K = 4
+    scanned = ScannedLayers(layer, K)
+    params = scanned.init_params(jax.random.key(0))
+    params = jax.tree_util.tree_map(
+        lambda l: l + 0.2 * jax.random.normal(jax.random.key(1), l.shape),
+        params)
+    x = jax.random.uniform(jax.random.key(2), (8, D),
+                           minval=-BOUND, maxval=BOUND)
+    y_s, ld_s = scanned.forward(params, x)
+    # unrolled: slice layer i's params out of the stacked pytree
+    y_u = x
+    ld_u = jnp.zeros(8)
+    for i in range(K):
+        p_i = jax.tree_util.tree_map(lambda l: l[i], params)
+        y_u, d = layer.forward(p_i, y_u)
+        ld_u = ld_u + d
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_s), np.asarray(ld_u), atol=1e-4)
+    # inverse round trip through the scan
+    x_back, ld_inv = scanned.inverse(params, y_s)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ld_s + ld_inv), 0.0, atol=2e-3)
