@@ -12,7 +12,12 @@ from flowstate_tpu.flows.autoregressive import (
     MaskedAffineAutoregressive,
     MaskedPiecewiseRQSAutoregressive,
 )
-from flowstate_tpu.flows.core import NormalizingFlow, build_circular_flow
+from flowstate_tpu.flows.core import (
+    NormalizingFlow,
+    ScannedLayers,
+    build_circular_flow,
+    generate_samples,
+)
 from flowstate_tpu.flows.image import ActNormImage, ConvNet2d, GlowBlock
 from flowstate_tpu.flows.models import (
     ClassCondFlow,
@@ -97,6 +102,7 @@ from flowstate_tpu.flows.vae import (
 __all__ = [
     # model
     "NormalizingFlow", "build_circular_flow", "NormalizingFlowVAE",
+    "ScannedLayers", "generate_samples",
     "ConditionalNormalizingFlow", "ClassCondFlow", "MultiscaleFlow",
     # residual + image
     "Residual", "LipschitzMLP", "LipschitzCNN", "lipswish",

@@ -213,3 +213,26 @@ class ScannedLayers:
         ld0 = jnp.zeros_like(z[:, 0])
         (z, ld), _ = jax.lax.scan(body, (z, ld0), params, reverse=True)
         return z, ld
+
+
+def generate_samples(model: NormalizingFlow, params, key: jax.Array,
+                     n_iterations: int, samples_per_iteration: int = 5000,
+                     num_particles: Optional[int] = None,
+                     num_dim: Optional[int] = None):
+    """Chunked sampling helper; reference ``hybrid_NF_MCMC/utils.py``
+    ``generate_samples`` (5000-sample chunks to bound device memory).
+
+    Returns (n_iterations * samples_per_iteration, N, d) if particle shape
+    is given, else the flat (M, dim) array.
+    """
+    import numpy as np
+
+    chunks = []
+    for i in range(n_iterations):
+        key, k = jax.random.split(key)
+        chunks.append(np.asarray(model.sample(params, k,
+                                              samples_per_iteration)))
+    out = np.concatenate(chunks, axis=0)
+    if num_particles is not None and num_dim is not None:
+        out = out.reshape(-1, num_particles, num_dim)
+    return out
