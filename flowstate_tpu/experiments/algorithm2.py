@@ -73,14 +73,19 @@ def run(config: ExperimentConfig, resume: bool = False) -> Dict:
             restored = (step, path)
 
     # initial (small) training set -- ref :240-277
+    # (skipped on resume: the restored chain/flow state supersedes it)
     samples_per_chain = max(
         1, config.initial_training_num_samples // config.num_chains)
-    state, obs = run_production_batch(spec, config.beta, state,
-                                      samples_per_chain,
-                                      config.sampling_frequency)
-    train_set = (np.asarray(obs.positions).reshape(
-        -1, config.num_particles, 2) - config.half_box).reshape(
-            -1, config.dim).astype(np.float32)
+    if restored is None:
+        state, obs = run_production_batch(spec, config.beta, state,
+                                          samples_per_chain,
+                                          config.sampling_frequency)
+        train_set = (np.asarray(obs.positions).reshape(
+            -1, config.num_particles, 2) - config.half_box).reshape(
+                -1, config.dim).astype(np.float32)
+    else:
+        train_set = np.zeros((config.update_num_samples, config.dim),
+                             dtype=np.float32)  # replaced in cycle 1
     logger.info("initial train set: %d samples", len(train_set))
 
     # model with the energy target attached -- ref :281-295
@@ -109,11 +114,14 @@ def run(config: ExperimentConfig, resume: bool = False) -> Dict:
                             weight_decay=config.weight_decay,
                             alpha=config.alpha)
 
-    # initial training -- ref :314-331
-    params, _, _, loss_epoch = train(
-        model, params, jnp.asarray(train_set), train_cfg,
-        jax.random.key(config.master_seed + 2))
-    loss_per_cycle = list(loss_epoch)
+    # initial training -- ref :314-331 (skipped on resume)
+    if restored is None:
+        params, _, _, loss_epoch = train(
+            model, params, jnp.asarray(train_set), train_cfg,
+            jax.random.key(config.master_seed + 2))
+        loss_per_cycle = list(loss_epoch)
+    else:
+        loss_per_cycle = []
 
     # the on-the-fly cycle loop -- ref :393-577
     c = config.num_chains
@@ -122,7 +130,10 @@ def run(config: ExperimentConfig, resume: bool = False) -> Dict:
     big_move_accepts = 0
     big_move_attempts = 0
     production_configs = [[] for _ in range(c)]  # per-chain sampled configs
-    move_key = jax.random.key(config.master_seed + 3)
+    # fold the proposal-key stream by the starting cycle so a resumed run
+    # does not replay cycle 0's keys against late-cycle state
+    move_key = jax.random.fold_in(jax.random.key(config.master_seed + 3),
+                                  start_cycle)
 
     new_samples_per_chain = max(
         1, config.update_num_samples // config.num_chains)

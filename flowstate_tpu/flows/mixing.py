@@ -111,10 +111,17 @@ class InvertibleAffine:
     def forward(self, params, z):
         w, logdet = self._weight_logdet(params)
         z_ = z @ w.T
+        if self.use_lu:
+            # the fixed random permutation P of W = P L U (|det P| = 1)
+            z_ = z_[:, self._permutation()]
         return z_, jnp.broadcast_to(logdet, (z.shape[0],))
 
     def inverse(self, params, z):
         if self.use_lu:
+            perm = self._permutation()
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(self.dim)
+            z = z[:, inv]
             lower, upper = _lu_assemble(params, self.dim)
             # solve (L U) x = z^T  via two triangular solves
             y = jax.scipy.linalg.solve_triangular(lower, z.T, lower=True)

@@ -238,8 +238,11 @@ class TorusEGNN:
         return params
 
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
-        # x: (B, num_node) flattened coordinates in the periodic frame,
-        # already scaled to radians by the periodic featurizer upstream.
+        # x: (B, num_node) flattened coordinates; preprocessing (the
+        # pi/tail_bound radian scaling from the coupling wrapper) maps them
+        # onto the 2*pi torus the wrap below assumes.
+        if self.preprocessing is not None:
+            x = self.preprocessing(x)
         b = x.shape[0]
         n, fd = self.n_particles, self.feat_dim
         coords = x[:, : n * fd].reshape(b, n, fd)

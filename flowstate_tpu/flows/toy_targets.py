@@ -38,16 +38,18 @@ def rejection_sample(target, key: jax.Array, num_samples: int,
     keeps the first ``num_samples`` accepted (padding with resampled
     accepted points if short — statistically safe for the toy targets).
     """
-    k_prop, k_acc, k_fill = jax.random.split(key, 3)
+    k_prop, k_acc = jax.random.split(key)
     n_prop = oversample * num_samples
     z = prop_shift + prop_scale * jax.random.uniform(
         k_prop, (n_prop, target.n_dims))
     prob = jax.random.uniform(k_acc, (n_prop,))
     accept = jnp.exp(target.log_prob(z) - max_log_prob) > prob
-    # rank accepted first, fill from accepted with wraparound
-    idx = jnp.argsort(~accept)  # accepted (False<True) first
-    take = idx[:num_samples]
-    return z[take]
+    # rank accepted first; any shortfall is filled by cycling through the
+    # accepted points (never by rejected proposals)
+    order = jnp.argsort(~accept)  # accepted (False<True) first
+    n_acc = jnp.maximum(jnp.sum(accept), 1)
+    pick = jnp.mod(jnp.arange(num_samples), n_acc)
+    return z[order[pick]]
 
 
 @dataclasses.dataclass(frozen=True)

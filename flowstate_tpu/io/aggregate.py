@@ -83,15 +83,22 @@ def append_results(results_csv: str, output_path: str, temperature: float,
     pressure, density, and aspect ratio from ``sampled_data.csv``.
     """
     sampled = os.path.join(output_path, "sampled_data.csv")
-    pressures, densities, aspect_ratios = [], [], []
+    rows = []
     with open(sampled) as f:
         reader = csv.reader(f)
         next(reader)  # header
-        for rowvals in reader:
-            if int(rowvals[0]) > equilibration_steps:
-                densities.append(float(rowvals[2]))
-                pressures.append(float(rowvals[3]))
-                aspect_ratios.append(float(rowvals[4]) / float(rowvals[5]))
+        rows = list(reader)
+    # Reference CSVs count cycles across equilibration+production; our
+    # single_run CSVs contain production-only rows whose cycle numbers
+    # restart at sampling_frequency — if no row exceeds the threshold,
+    # every row is already post-equilibration and all are kept.
+    if rows and max(int(r[0]) for r in rows) > equilibration_steps:
+        rows = [r for r in rows if int(r[0]) > equilibration_steps]
+    pressures, densities, aspect_ratios = [], [], []
+    for rowvals in rows:
+        densities.append(float(rowvals[2]))
+        pressures.append(float(rowvals[3]))
+        aspect_ratios.append(float(rowvals[4]) / float(rowvals[5]))
     import numpy as np
     summary = {
         "temperature": temperature,

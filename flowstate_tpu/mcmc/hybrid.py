@@ -58,12 +58,14 @@ def nf_big_moves(spec: SystemSpec, beta: float, state: ChainState,
     """
     c = state.positions.shape[0]
 
-    # Split one per-chain key stream: reuse chain 0's key to drive the
-    # batched proposal draw and per-chain uniforms.
+    # Per-chain key streams: chain i's acceptance uniform comes from its
+    # own stream; the batched proposal draw uses a key folded AWAY from any
+    # chain's stream (reusing chain 0's key verbatim would correlate chain
+    # 0's accept threshold with its own proposal coordinates).
     keys = jax.vmap(jax.random.split)(state.key)  # (C, 2) keys
     new_chain_keys = keys[:, 0]
     k_move = keys[:, 1]
-    k_prop = k_move[0]
+    k_prop = jax.random.fold_in(k_move[0], 0x9E3779B9)
     u = jax.vmap(lambda k: jax.random.uniform(k, ()))(k_move)  # (C,)
 
     # Batched proposal + its log-prob in ONE forward pass (the reference

@@ -153,7 +153,7 @@ def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
 
 
 def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
-                     num_moves: int, seed: int = 0,
+                     num_moves: int, seed=None,
                      interpret: bool = False) -> ChainState:
     """Advance a batched ChainState by ``num_moves`` with the on-chip kernel.
 
@@ -185,7 +185,11 @@ def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
         state.max_disp.reshape(blocks, 1, C_BLK),
         (blocks, ROWS, C_BLK)).reshape(blocks * ROWS, C_BLK)
     zeros = jnp.zeros_like(e_in)
-    seed_arr = jnp.asarray([seed], dtype=jnp.int32)
+    if seed is None:
+        # derive from chain 0's PRNG stream so successive calls get fresh
+        # on-chip randomness (a fixed default would replay the stream)
+        seed = jax.random.randint(state.key[0], (), 0, 2**31 - 1)
+    seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -234,9 +238,11 @@ def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
     new_e = e_o.reshape(blocks, ROWS, C_BLK)[:, 0, :].reshape(c)
     accepts = acc_o.reshape(blocks, ROWS, C_BLK)[:, 0, :].reshape(c)
 
+    new_keys = jax.vmap(lambda k: jax.random.split(k, 2)[0])(state.key)
     return state._replace(
         positions=new_pos,
         energy=new_e,
         attempts=state.attempts + num_moves,
         accepts=state.accepts + accepts.astype(state.accepts.dtype),
+        key=new_keys,
     )

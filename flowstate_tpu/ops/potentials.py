@@ -69,7 +69,14 @@ def lennard_jones_force(
     sigma: float = 1.0,
     cutoff_constant: float = 2.5,
 ) -> jnp.ndarray:
-    """Scalar LJ pair force magnitude; reference ``potential.py:38-46``."""
+    """Scalar LJ pair force magnitude; reference ``potential.py:38-46``.
+
+    NOTE (reference-faithful inconsistency): the force cutoff is
+    ``cutoff_constant * sigma`` (potential.py:40) while the energy cutoff
+    is the bare ``cutoff_constant`` (potential.py:6-7, sigma=1 convention)
+    — the two disagree for sigma != 1.  The force is never called from any
+    reference driver; kept for API parity.
+    """
     r = jnp.asarray(r)
     r_cut = cutoff_constant * sigma
     mask = (r > 0) & (r <= r_cut)

@@ -103,6 +103,10 @@ def make_data_parallel_train_step(model, config, optimizer, mesh: Mesh):
     n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
     def shard_step(params, opt_state, key, batch_shard):
+        # decorrelate shards: the replicated key is folded with the shard
+        # index so reverse-KLD base draws differ per device
+        key = jax.random.fold_in(key, jax.lax.axis_index(CHAIN_AXIS))
+
         def loss_fn(p):
             loss = 0.0
             if config.alpha > 0.0:

@@ -75,7 +75,17 @@ class ExperimentConfig:
 
     @property
     def half_box(self) -> float:
-        """HALF_BOX = ((N/rho)^(1/d))/2; reference main_algorithm_1.py:50."""
+        """HALF_BOX = ((N/rho)^(1/d))/2; reference main_algorithm_1.py:50.
+
+        Like the reference constant, this assumes a SQUARE box; the hybrid
+        drivers therefore reject aspect_ratio != 1 (the flow's torus frame
+        would not match the simulation box).
+        """
+        if abs(self.aspect_ratio - 1.0) > 1e-12:
+            raise ValueError(
+                "half_box (the flow's torus bound) assumes aspect_ratio=1; "
+                "non-square boxes are only supported by the plain-MCMC "
+                "drivers (single_run/sweep)")
         return ((self.num_particles / self.rho) ** (1.0 / self.num_dim)) / 2.0
 
     @property

@@ -46,8 +46,8 @@ def test_coupling_forward_inverse(net_type):
                            minval=-BOUND, maxval=BOUND)
     y, ld = layer.forward(params, x)
     x_back, ld_inv = layer.inverse(params, y)
-    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=2e-3)
-    np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=5e-3)
     assert np.all(np.abs(np.asarray(y)) <= BOUND + 1e-4)
 
 
