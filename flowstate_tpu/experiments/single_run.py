@@ -104,8 +104,10 @@ def main(argv=None) -> dict:
                                     args.adjusting_frequency)
 
     num_samples = args.production_steps // args.sampling_frequency
+    # cycle numbers continue after equilibration, as the reference CSVs do
     state, obs = run_production_batch(spec, beta, state, num_samples,
-                                      args.sampling_frequency)
+                                      args.sampling_frequency,
+                                      start_cycle=args.equilibration_steps)
 
     # NPZ of production configs shifted into the centered frame (main.py:179-190)
     configs = np.asarray(obs.positions)  # (C, T, N, 2)

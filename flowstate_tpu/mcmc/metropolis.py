@@ -191,19 +191,22 @@ def sample_observables(spec: SystemSpec, beta: float, state: ChainState,
 
 
 def run_production(spec: SystemSpec, beta: float, state: ChainState,
-                   num_samples: int, sampling_frequency: int
-                   ) -> Tuple[ChainState, Observables]:
+                   num_samples: int, sampling_frequency: int,
+                   start_cycle: int = 0) -> Tuple[ChainState, Observables]:
     """Production run on one chain: scan over ``num_samples`` blocks of
     ``sampling_frequency`` moves, emitting one observable per block.
 
     Equivalent to the reference production loops
     (main.py:168-177, main_algorithm_1.py:244-251) but fully on device:
     the sample buffers come back as stacked arrays (num_samples, ...).
+    ``start_cycle`` continues the cycle numbering across phases (the
+    reference counts cycles over the whole run).
     """
 
     def block(carry, i):
         s = run_moves(spec, beta, carry, sampling_frequency)
-        obs = sample_observables(spec, beta, s, (i + 1) * sampling_frequency)
+        obs = sample_observables(spec, beta, s,
+                                 start_cycle + (i + 1) * sampling_frequency)
         return s, obs
 
     return jax.lax.scan(block, state, jnp.arange(num_samples))
@@ -250,11 +253,12 @@ def run_equilibration_batch(spec, beta, state, num_steps,
         target_acceptance))(state)
 
 
-def run_production_batch(spec, beta, state, num_samples, sampling_frequency):
+def run_production_batch(spec, beta, state, num_samples, sampling_frequency,
+                         start_cycle: int = 0):
     """Returns (state, observables) with observables leaves shaped
     (C, num_samples, ...)."""
     return jax.vmap(lambda s: run_production(
-        spec, beta, s, num_samples, sampling_frequency))(state)
+        spec, beta, s, num_samples, sampling_frequency, start_cycle))(state)
 
 
 def run_moves_batch(spec, beta, state, num_moves):
