@@ -75,6 +75,7 @@ from flowstate_tpu.flows.stochastic import (
     MetropolisHastings,
 )
 from flowstate_tpu.flows.targets import CoulombGas, DoubleWellLJ, DWNormal, SimpleLJ
+from flowstate_tpu.flows.transforms import LogitTransform, Shift
 from flowstate_tpu.flows.toy_targets import (
     CircularGaussianMixture,
     ConditionalDiagGaussian,
@@ -132,6 +133,7 @@ __all__ = [
     # nets
     "ResidualNet", "MLP", "TransformerNet", "TorusEGNN",
     "PeriodicFeaturesElementwise", "PeriodicFeaturesCat",
+    "LogitTransform", "Shift",
     # physics targets
     "SimpleLJ", "DoubleWellLJ", "DWNormal", "CoulombGas",
     # toy targets / priors

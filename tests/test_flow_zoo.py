@@ -288,3 +288,23 @@ def test_toy_targets_evaluate():
     assert s2.shape == (64, 2)
     # rejection-sampled points have high density
     assert float(jnp.mean(TwoMoons().log_prob(s2))) > -3.0
+
+
+def test_logit_transform_roundtrip_and_logdet():
+    from flowstate_tpu.flows import LogitTransform, Shift
+    layer = LogitTransform(alpha=0.05)
+    z = jax.random.normal(jax.random.key(50), (16, 4))
+    x, ld = layer.forward({}, z)
+    assert np.all((np.asarray(x) >= -0.06) & (np.asarray(x) <= 1.06))
+    z_back, ld_inv = layer.inverse({}, x)
+    np.testing.assert_allclose(np.asarray(z_back), np.asarray(z), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=1e-3)
+    # log-det vs autodiff
+    J = jax.jacfwd(lambda v: layer.forward({}, v[None])[0][0])(z[0])
+    _, exact = np.linalg.slogdet(np.asarray(J))
+    np.testing.assert_allclose(float(ld[0]), exact, atol=1e-4)
+
+    sh = Shift(-0.5)
+    y, _ = sh.forward({}, z)
+    z2, _ = sh.inverse({}, y)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z), atol=1e-6)
