@@ -6,6 +6,11 @@ from flowstate_tpu.analysis.ess import (
     integrated_autocorr_time,
     sampling_efficiency,
 )
+from flowstate_tpu.analysis.plots import (
+    ICL_COLOR_CYCLE,
+    get_icl_heatmap_cmap,
+    set_icl_color_cycle,
+)
 from flowstate_tpu.analysis.rdf import calculate_pair_correlation
 from flowstate_tpu.analysis.wells import (
     OUTSIDE,
@@ -23,6 +28,7 @@ __all__ = [
     "classify_particles", "calculate_well_statistics",
     "state_histogram_counts", "average_free_energy", "well_centers",
     "calculate_pair_correlation",
+    "set_icl_color_cycle", "get_icl_heatmap_cmap", "ICL_COLOR_CYCLE",
     "effective_sample_size", "integrated_autocorr_time", "autocorrelation",
     "sampling_efficiency",
     "WELL_A", "WELL_B", "OUTSIDE", "STATE_LABELS",

@@ -65,6 +65,62 @@ def _dump_json(directory: str, base_filename: str, data: dict) -> str:
     return path
 
 
+# ICL 12-color palette (color-blind-aware ordering); shared style data with
+# the reference (``MCMC/utils.py:42-56``) so replotted figures match.
+ICL_COLOR_CYCLE = (
+    "#0000CD",  # Imperial Blue
+    "#DC143C",  # Crimson
+    "#008080",  # Teal
+    "#FF4500",  # Orange Red
+    "#FFFF00",  # Yellow
+    "#C71585",  # Medium Violet Red
+    "#006400",  # Dark Green
+    "#4B0082",  # Indigo
+    "#8B4513",  # Saddle Brown
+    "#000080",  # Navy Blue
+    "#708090",  # Slate Gray
+    "#232323",  # Dark (near-black)
+)
+
+
+def set_icl_color_cycle(use_tex: bool = False) -> None:
+    """Install the ICL color cycle + publication rcParams.
+
+    Reference ``MCMC/utils.py:22-113``.  Deviation: the reference probes for
+    a TeX installation by test-rendering (``utils.py:62-95``); headless TPU
+    hosts have no TeX, so TeX is opt-in via ``use_tex`` instead of probed.
+    """
+    from cycler import cycler
+
+    matplotlib.rcParams["axes.prop_cycle"] = cycler(color=ICL_COLOR_CYCLE)
+    matplotlib.rcParams.update({
+        "text.usetex": use_tex,
+        "font.family": "serif",
+        "font.serif": ["Computer Modern Roman", "DejaVu Serif",
+                       "Times New Roman", "Bitstream Vera Serif"],
+        "figure.dpi": 300,
+        "savefig.dpi": 300,
+        "savefig.format": "svg",
+    })
+
+
+def get_icl_heatmap_cmap(cmap_type: str = "sequential"):
+    """ICL-palette heatmap colormaps; reference ``MCMC/utils.py:115-142``."""
+    from matplotlib.colors import LinearSegmentedColormap
+
+    stops = {
+        "sequential": ["#000080", "#FFFF00"],
+        "diverging": ["#0000CD", "#FFFFFF", "#DC143C"],
+        "multistep": ["#0000CD", "#008080", "#FF4500", "#FFFF00"],
+    }
+    if cmap_type not in stops:
+        raise ValueError(
+            "Invalid cmap_type. Choose from 'sequential', 'diverging', or "
+            "'multistep'.")
+    return LinearSegmentedColormap.from_list(
+        f"ICL_{cmap_type.capitalize()}", stops[cmap_type])
+
+
 def plot_loss(loss_epoch: Sequence[float], directory: str,
               base_filename: str = "loss_plot") -> Tuple[str, str]:
     _dump_json(directory, base_filename, {"loss_epoch": list(loss_epoch)})

@@ -9,6 +9,8 @@ from flowstate_tpu.flows.affine import (
 )
 from flowstate_tpu.flows.autoregressive import (
     MADE,
+    AutoregressiveRationalQuadraticSpline,
+    CircularAutoregressiveRationalQuadraticSpline,
     MaskedAffineAutoregressive,
     MaskedPiecewiseRQSAutoregressive,
 )
@@ -18,7 +20,12 @@ from flowstate_tpu.flows.core import (
     build_circular_flow,
     generate_samples,
 )
-from flowstate_tpu.flows.image import ActNormImage, ConvNet2d, GlowBlock
+from flowstate_tpu.flows.image import (
+    ActNormImage,
+    ConvNet2d,
+    ConvResidualNet,
+    GlowBlock,
+)
 from flowstate_tpu.flows.models import (
     ClassCondFlow,
     ConditionalNormalizingFlow,
@@ -28,7 +35,13 @@ from flowstate_tpu.flows.residual import (
     LipschitzCNN,
     LipschitzMLP,
     Residual,
+    asym_squash,
+    batch_jacobian,
+    batch_trace,
+    geometric_sample,
+    leaky_elu,
     lipswish,
+    poisson_sample,
 )
 from flowstate_tpu.flows.base import Composite, Reverse
 from flowstate_tpu.flows.coupling import (
@@ -59,11 +72,14 @@ from flowstate_tpu.flows.mixing import (
 )
 from flowstate_tpu.flows.nets import (
     MLP,
+    ClampExp,
+    ConstScaleLayer,
     PeriodicFeaturesCat,
     PeriodicFeaturesElementwise,
     ResidualNet,
     TorusEGNN,
     TransformerNet,
+    clamp_exp,
 )
 from flowstate_tpu.flows.normalization import ActNorm, BatchNorm
 from flowstate_tpu.flows.periodic import PeriodicShift, PeriodicWrap
@@ -79,6 +95,7 @@ from flowstate_tpu.flows.transforms import LogitTransform, Shift
 from flowstate_tpu.flows.toy_targets import (
     CircularGaussianMixture,
     ConditionalDiagGaussian,
+    ImagePrior,
     LinearInterpolation,
     RingMixture,
     Sinusoidal,
@@ -107,7 +124,9 @@ __all__ = [
     "ConditionalNormalizingFlow", "ClassCondFlow", "MultiscaleFlow",
     # residual + image
     "Residual", "LipschitzMLP", "LipschitzCNN", "lipswish",
-    "GlowBlock", "ConvNet2d", "ActNormImage",
+    "geometric_sample", "poisson_sample", "batch_jacobian", "batch_trace",
+    "leaky_elu", "asym_squash",
+    "GlowBlock", "ConvNet2d", "ConvResidualNet", "ActNormImage",
     # couplings / splines
     "CircularSplineCoupling", "CoupledRationalQuadraticSpline",
     "create_alternating_binary_mask", "create_mid_split_binary_mask",
@@ -118,6 +137,8 @@ __all__ = [
     "AffineCouplingBlock",
     # autoregressive
     "MADE", "MaskedAffineAutoregressive", "MaskedPiecewiseRQSAutoregressive",
+    "AutoregressiveRationalQuadraticSpline",
+    "CircularAutoregressiveRationalQuadraticSpline",
     # mixing
     "Permute", "InvertibleAffine", "LULinearPermute", "Invertible1x1Conv",
     # elementary / norm / periodic / reshape
@@ -133,13 +154,15 @@ __all__ = [
     # nets
     "ResidualNet", "MLP", "TransformerNet", "TorusEGNN",
     "PeriodicFeaturesElementwise", "PeriodicFeaturesCat",
+    "ConstScaleLayer", "ClampExp", "clamp_exp",
     "LogitTransform", "Shift",
     # physics targets
     "SimpleLJ", "DoubleWellLJ", "DWNormal", "CoulombGas",
     # toy targets / priors
     "TwoMoons", "CircularGaussianMixture", "RingMixture", "TwoIndependent",
     "ConditionalDiagGaussian", "TwoModes", "Sinusoidal", "SinusoidalGap",
-    "SinusoidalSplit", "Smiley", "LinearInterpolation", "rejection_sample",
+    "SinusoidalSplit", "Smiley", "ImagePrior", "LinearInterpolation",
+    "rejection_sample",
     # vae
     "Dirac", "UniformEncoder", "ConstDiagGaussian", "NNDiagGaussian",
     "NNDiagGaussianDecoder", "NNBernoulliDecoder",

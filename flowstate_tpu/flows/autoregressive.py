@@ -206,3 +206,78 @@ class MaskedPiecewiseRQSAutoregressive:
         x = jax.lax.fori_loop(0, self.features, body, jnp.zeros_like(z))
         _, ld = self._elementwise(params, x, x, inverse=False)
         return x, -jnp.sum(ld, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class AutoregressiveRationalQuadraticSpline:
+    """Linear-tail autoregressive NSF; ref ``neural_spline/wrapper.py:278-336``.
+
+    Thin wrapper over :class:`MaskedPiecewiseRQSAutoregressive` with the
+    reference's direction convention: the flow ``forward`` (base → target,
+    used in sampling) is the inner transform's sequential inverse, and the
+    flow ``inverse`` (density evaluation) is the fast one-pass direction —
+    MAF semantics (``wrapper.py:331-336``).
+    """
+
+    num_input_channels: int
+    num_blocks: int
+    num_hidden_channels: int
+    num_bins: int = 8
+    tail_bound: float = 3.0
+    init_identity: bool = True
+
+    def _inner(self) -> MaskedPiecewiseRQSAutoregressive:
+        return MaskedPiecewiseRQSAutoregressive(
+            features=self.num_input_channels,
+            hidden_features=self.num_hidden_channels,
+            num_bins=self.num_bins, tails="linear",
+            tail_bound=self.tail_bound, num_blocks=self.num_blocks,
+            init_identity=self.init_identity)
+
+    def init_params(self, key: jax.Array):
+        return self._inner().init_params(key)
+
+    def forward(self, params, z):
+        return self._inner().inverse(params, z)
+
+    def inverse(self, params, z):
+        return self._inner().forward(params, z)
+
+
+@dataclasses.dataclass(frozen=True)
+class CircularAutoregressiveRationalQuadraticSpline:
+    """Circular-tail autoregressive NSF; ref ``wrapper.py:339-403``.
+
+    Per-dim tails: ``"circular"`` for indices in ``ind_circ``, ``"linear"``
+    otherwise (``wrapper.py:377-379``); the MADE input gets the cos/sin
+    periodic featurization at scale π/tail_bound.  Same MAF direction
+    convention as :class:`AutoregressiveRationalQuadraticSpline`.
+    """
+
+    num_input_channels: int
+    num_blocks: int
+    num_hidden_channels: int
+    ind_circ: tuple = ()
+    num_bins: int = 8
+    tail_bound: float = 3.0
+    init_identity: bool = True
+
+    def _inner(self) -> MaskedPiecewiseRQSAutoregressive:
+        circ = set(self.ind_circ)
+        tails = tuple("circular" if i in circ else "linear"
+                      for i in range(self.num_input_channels))
+        return MaskedPiecewiseRQSAutoregressive(
+            features=self.num_input_channels,
+            hidden_features=self.num_hidden_channels,
+            num_bins=self.num_bins, tails=tails,
+            tail_bound=self.tail_bound, num_blocks=self.num_blocks,
+            init_identity=self.init_identity)
+
+    def init_params(self, key: jax.Array):
+        return self._inner().init_params(key)
+
+    def forward(self, params, z):
+        return self._inner().inverse(params, z)
+
+    def inverse(self, params, z):
+        return self._inner().forward(params, z)

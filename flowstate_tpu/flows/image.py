@@ -78,6 +78,56 @@ class ConvNet2d:
 
 
 @dataclasses.dataclass(frozen=True)
+class ConvResidualNet:
+    """Pre-activation conv residual net; ref ``nets/resnet.py:107-209``.
+
+    1x1 initial conv → ``num_blocks`` residual blocks of two 3x3 convs with
+    pre-activation (second conv init U(-1e-3, 1e-3), the reference's
+    zero_initialization ``resnet.py:137-139``) → 1x1 final conv.  The
+    reference's context conv/GLU, dropout, and BatchNorm are omitted: no
+    caller in the reference passes context, and dropout/BatchNorm carry
+    train-eval statefulness the functional design avoids (same deviation as
+    :class:`flowstate_tpu.flows.nets.ResidualNet`).
+    """
+
+    in_channels: int
+    out_channels: int
+    hidden_channels: int
+    num_blocks: int = 2
+    activation = staticmethod(jax.nn.relu)
+
+    def init_params(self, key: jax.Array):
+        keys = jax.random.split(key, 2 + 2 * self.num_blocks)
+        params = {"initial": _conv_init(keys[0], self.in_channels,
+                                        self.hidden_channels, 1)}
+        blocks = []
+        for b in range(self.num_blocks):
+            c1 = _conv_init(keys[1 + 2 * b], self.hidden_channels,
+                            self.hidden_channels, 3)
+            k1, k2 = jax.random.split(keys[2 + 2 * b])
+            c2 = {"w": jax.random.uniform(
+                      k1, (self.hidden_channels, self.hidden_channels, 3, 3),
+                      minval=-1e-3, maxval=1e-3),
+                  "b": jax.random.uniform(
+                      k2, (self.hidden_channels,), minval=-1e-3, maxval=1e-3)}
+            blocks.append({"c1": c1, "c2": c2})
+        params["blocks"] = blocks
+        params["final"] = _conv_init(keys[-1], self.hidden_channels,
+                                     self.out_channels, 1)
+        return params
+
+    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        t = _conv(params["initial"], x, 1)
+        for blk in params["blocks"]:
+            r = jax.nn.relu(t)
+            r = _conv(blk["c1"], r, 3)
+            r = jax.nn.relu(r)
+            r = _conv(blk["c2"], r, 3)
+            t = t + r
+        return _conv(params["final"], t, 1)
+
+
+@dataclasses.dataclass(frozen=True)
 class ActNormImage:
     """Per-channel affine const flow on NCHW; data-dependent init."""
 

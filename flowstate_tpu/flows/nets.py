@@ -267,6 +267,24 @@ class TorusEGNN:
 
 
 @dataclasses.dataclass(frozen=True)
+class ConstScaleLayer:
+    """Fixed-factor feature scaling; ref ``utils/nn.py:7-23``."""
+
+    scale: float = 1.0
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x * self.scale
+
+
+def clamp_exp(x: jnp.ndarray) -> jnp.ndarray:
+    """Nonlinearity min(exp(x), 1); ref ``utils/nn.py:46-61`` (``ClampExp``)."""
+    return jnp.minimum(jnp.exp(x), 1.0)
+
+
+ClampExp = clamp_exp  # reference class name alias
+
+
+@dataclasses.dataclass(frozen=True)
 class PeriodicFeaturesElementwise:
     """Standalone cos/sin featurizer; ref ``utils/nn.py:64-137`` (fork form:
     the whole input maps to [cos(s x), sin(s x)], doubling the width)."""

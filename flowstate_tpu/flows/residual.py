@@ -15,8 +15,21 @@ TPU-native equivalents of ``NF/normflows/flows/residual.py`` and
       reference's brute_force covers only D=2),
     - ``series``: truncated power series  sum_k (-1)^(k+1)/k tr(J^k) with
       Hutchinson trace estimation (the biased n_power_series mode),
+    - ``unbiased``: the russian-roulette estimator (``residual.py:164-200``,
+      helpers :402-434): a random truncation level N is drawn from a
+      geometric/Poisson distribution and term k is reweighted by
+      1{N >= k - n_exact}/P(N >= k - n_exact), making the truncated series
+      unbiased.  TPU note: the reference truncates at the sampled N
+      (dynamic); here the series is unrolled to a static ``n_power_series``
+      cap and the roulette enters as traced 0/1·weight masks, so one
+      compiled program serves every draw.
   and the Banach fixed-point inverse (``residual.py:133-142``) as a fixed
   ``lax.fori_loop`` (static iteration count — jit-friendly).
+
+The reference's ``MemoryEfficientLogDetEstimator``/``mem_eff_wrapper``
+(``residual.py:282-397``) is a hand-written backward pass that avoids
+storing the power-series graph; under XLA the same trade is
+``jax.checkpoint`` on the estimator, so no custom VJP is carried.
 """
 
 from __future__ import annotations
@@ -34,6 +47,59 @@ from flowstate_tpu.flows.nets import _linear_init
 def lipswish(x: jnp.ndarray) -> jnp.ndarray:
     """LipSwish activation: swish / 1.1 (Lipschitz constant 1)."""
     return jax.nn.silu(x) / 1.1
+
+
+def leaky_elu(x: jnp.ndarray, a: float = 0.3) -> jnp.ndarray:
+    """Leaky ELU used by Lipschitz nets; ref ``nets/lipschitz.py:697-698``."""
+    return a * x + (1 - a) * jax.nn.elu(x)
+
+
+def asym_squash(x: jnp.ndarray) -> jnp.ndarray:
+    """Asymmetric squashing to (1, 5); ref ``nets/lipschitz.py:701-702``."""
+    return jnp.tanh(-leaky_elu(-x + 0.5493061829986572)) * 2.0 + 3.0
+
+
+def geometric_sample(key: jax.Array, p: float, shape=()) -> jnp.ndarray:
+    """Draw N ~ Geometric(p) on {1, 2, ...} (ref ``residual.py:405-406``)."""
+    u = jax.random.uniform(key, shape, minval=jnp.finfo(jnp.float32).tiny)
+    return jnp.floor(jnp.log(u) / jnp.log1p(-p)).astype(jnp.int32) + 1
+
+
+def poisson_sample(key: jax.Array, lamb: float, shape=()) -> jnp.ndarray:
+    """Draw N ~ Poisson(lamb) (ref ``residual.py:417-418``)."""
+    return jax.random.poisson(key, lamb, shape).astype(jnp.int32)
+
+
+def geometric_1mcdf(p: float, k: int, offset: int) -> float:
+    """P(N >= k - offset) for N ~ Geometric(p); ref ``residual.py:409-414``.
+
+    Static Python floats: k/offset are loop constants under jit.
+    """
+    if k <= offset:
+        return 1.0
+    k = k - offset
+    return float((1.0 - p) ** max(k - 1, 0))
+
+
+def poisson_1mcdf(lamb: float, k: int, offset: int) -> float:
+    """P(N >= k - offset) for N ~ Poisson(lamb); ref ``residual.py:421-429``."""
+    import math
+
+    if k <= offset:
+        return 1.0
+    k = k - offset
+    total = sum(lamb ** i / math.factorial(i) for i in range(k))
+    return float(1.0 - np.exp(-lamb) * total)
+
+
+def batch_jacobian(f, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, D) Jacobian of a batched map; ref ``residual.py:265-273``."""
+    return jax.vmap(jax.jacfwd(lambda v: f(v[None, :])[0]))(x)
+
+
+def batch_trace(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched matrix trace; ref ``residual.py:276-277``."""
+    return jnp.trace(m, axis1=-2, axis2=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,11 +163,15 @@ class Residual:
 
     net: LipschitzMLP
     reverse: bool = True
-    estimator: str = "exact"      # 'exact' | 'series'
-    n_power_series: int = 8
+    estimator: str = "exact"      # 'exact' | 'series' | 'unbiased'
+    n_power_series: int = 8       # truncation ('series') / static cap ('unbiased')
     n_trace_samples: int = 1
     fixed_point_iters: int = 50
     dim: int = 0                  # required for 'exact'
+    n_dist: str = "geometric"     # roulette distribution ('unbiased')
+    geom_p: float = 0.5
+    lamb: float = 2.0
+    n_exact_terms: int = 2        # always-kept leading terms ('unbiased')
 
     def init_params(self, key: jax.Array):
         return {"net": self.net.init_params(key)}
@@ -140,11 +210,51 @@ class Residual:
 
         return jnp.mean(jax.vmap(one_probe)(eps), axis=0)
 
+    def _logdet_unbiased(self, params, x, key):
+        """Russian-roulette unbiased power series (ref ``residual.py:164-200``).
+
+        The series runs to the static cap ``n_power_series``; the sampled
+        truncation level enters as per-term weights
+        1{k <= N + n_exact} / P(N >= k - n_exact), so a term past the cap is
+        a (documented) residual bias that vanishes as the cap grows —
+        trade taken to keep one compiled TPU program for all draws.
+        """
+        k_n, k_eps = jax.random.split(key)
+        if self.n_dist == "geometric":
+            n = geometric_sample(k_n, self.geom_p)
+            rcdf = lambda k: geometric_1mcdf(self.geom_p, k, self.n_exact_terms)
+        elif self.n_dist == "poisson":
+            n = poisson_sample(k_n, self.lamb)
+            rcdf = lambda k: poisson_1mcdf(self.lamb, k, self.n_exact_terms)
+        else:
+            raise ValueError(f"unknown n_dist {self.n_dist!r}")
+
+        def g(v):
+            return self.net.apply(params["net"], v)
+
+        eps = jax.random.rademacher(
+            k_eps, (self.n_trace_samples, *x.shape), dtype=x.dtype)
+
+        def one_probe(e):
+            _, vjp = jax.vjp(g, x)
+            ld = jnp.zeros(x.shape[0], dtype=x.dtype)
+            v = e
+            for k in range(1, self.n_power_series + 1):
+                (v,) = vjp(v)
+                keep = (k - self.n_exact_terms <= n).astype(x.dtype)
+                coeff = (-1.0) ** (k + 1) / k * keep / rcdf(k)
+                ld = ld + coeff * jnp.sum(v * e, axis=-1)
+            return ld
+
+        return jnp.mean(jax.vmap(one_probe)(eps), axis=0)
+
     def _logdetgrad(self, params, x, key=None):
         if self.estimator == "exact":
             return self._logdet_exact(params, x)
         if key is None:
             key = jax.random.key(0)
+        if self.estimator == "unbiased":
+            return self._logdet_unbiased(params, x, key)
         return self._logdet_series(params, x, key)
 
     # -- the residual map --------------------------------------------------

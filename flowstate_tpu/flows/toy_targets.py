@@ -233,6 +233,47 @@ class Smiley:
                 - 0.5 * ((jnp.abs(z_[1] + 0.8) - 1.2) / (2 * self.scale)) ** 2)
 
 
+class ImagePrior:
+    """Image-intensity density on a 2D rectangle; ref ``prior.py:21-104``.
+
+    The (normalized, eps-floored) pixel intensities of a grayscale image
+    define an unnormalized log-density over ``x_range x y_range``;
+    ``log_prob`` is nearest-pixel lookup, ``sample`` is batched rejection
+    sampling against the intensity map (one fixed-size device batch per
+    round instead of the reference's grow-until-full while loop).
+    """
+
+    def __init__(self, image, x_range=(-3.0, 3.0), y_range=(-3.0, 3.0),
+                 eps: float = 1e-10):
+        img = np.flip(np.asarray(image, dtype=np.float64), 0).T + eps
+        img = img / img.max()
+        self.image = jnp.asarray(img, dtype=jnp.float32)
+        self.density = jnp.asarray(np.log(img / img.sum()),
+                                   dtype=jnp.float32)
+        self.shape = np.asarray(img.shape)
+        self.shift = jnp.asarray([x_range[0], y_range[0]])
+        self.scale = jnp.asarray([x_range[1] - x_range[0],
+                                  y_range[1] - y_range[0]])
+
+    def log_prob(self, z: jnp.ndarray) -> jnp.ndarray:
+        z_ = jnp.clip((z - self.shift) / self.scale, 0.0, 1.0)
+        ind = (z_ * (self.shape - 1)).astype(jnp.int32)
+        return self.density[ind[:, 0], ind[:, 1]]
+
+    def sample(self, key: jax.Array, num_samples: int,
+               oversample: int = 8) -> jnp.ndarray:
+        k_prop, k_acc = jax.random.split(key)
+        n_prop = oversample * num_samples
+        z_ = jax.random.uniform(k_prop, (n_prop, 2))
+        ind = (z_ * (self.shape - 1)).astype(jnp.int32)
+        intensity = self.image[ind[:, 0], ind[:, 1]]
+        accept = intensity > jax.random.uniform(k_acc, (n_prop,))
+        order = jnp.argsort(~accept)
+        n_acc = jnp.maximum(jnp.sum(accept), 1)
+        pick = jnp.mod(jnp.arange(num_samples), n_acc)
+        return z_[order[pick]] * self.scale + self.shift
+
+
 @dataclasses.dataclass(frozen=True)
 class LinearInterpolation:
     """Geometric interpolation of two densities; ref ``linear_interpolation.py``.

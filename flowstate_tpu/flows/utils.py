@@ -95,6 +95,14 @@ def compute_distances(x: jnp.ndarray, n_particles: int, n_dimensions: int,
     return dist
 
 
+def distances_from_vectors(r: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """(..., N, N) distance matrix from (..., N, N, D) difference vectors.
+
+    Reference ``utils/geometry.py:93-111`` (eps-regularized norm).
+    """
+    return jnp.sqrt(jnp.sum(r * r, axis=-1) + eps)
+
+
 def remove_mean(samples: jnp.ndarray, n_particles: int,
                 n_dimensions: int) -> jnp.ndarray:
     """Mean-free configurations; ref ``utils/geometry.py:144-168``."""

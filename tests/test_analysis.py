@@ -150,3 +150,21 @@ def test_effective_sample_size():
     batch = rng.standard_normal((4, 1000))
     ess_b = effective_sample_size(batch)
     assert 2500 < ess_b < 5500
+
+
+def test_icl_styling():
+    import matplotlib
+    from flowstate_tpu.analysis import (
+        ICL_COLOR_CYCLE, get_icl_heatmap_cmap, set_icl_color_cycle)
+    set_icl_color_cycle()
+    cycle = matplotlib.rcParams["axes.prop_cycle"].by_key()["color"]
+    assert tuple(cycle) == ICL_COLOR_CYCLE
+    assert len(ICL_COLOR_CYCLE) == 12
+    for kind in ["sequential", "diverging", "multistep"]:
+        cmap = get_icl_heatmap_cmap(kind)
+        assert cmap(0.5) is not None
+    try:
+        get_icl_heatmap_cmap("nope")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

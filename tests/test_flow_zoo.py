@@ -308,3 +308,77 @@ def test_logit_transform_roundtrip_and_logdet():
     y, _ = sh.forward({}, z)
     z2, _ = sh.inverse({}, y)
     np.testing.assert_allclose(np.asarray(z2), np.asarray(z), atol=1e-6)
+
+
+def test_autoregressive_rqs_wrapper_roundtrip():
+    from flowstate_tpu.flows import AutoregressiveRationalQuadraticSpline
+    layer = AutoregressiveRationalQuadraticSpline(
+        num_input_channels=D, num_blocks=2, num_hidden_channels=16,
+        num_bins=4, tail_bound=3.0, init_identity=False)
+    params = layer.init_params(jax.random.key(60))
+    _check_forward_inverse(layer, params, 0.5 * _rand(61), atol=1e-3)
+
+
+def test_circular_autoregressive_rqs_wrapper_roundtrip():
+    from flowstate_tpu.flows import (
+        CircularAutoregressiveRationalQuadraticSpline)
+    # mixed tails: dims 0, 2, 4 circular, rest linear (wrapper.py:377-379)
+    layer = CircularAutoregressiveRationalQuadraticSpline(
+        num_input_channels=D, num_blocks=2, num_hidden_channels=16,
+        ind_circ=(0, 2, 4), num_bins=4, tail_bound=1.0, init_identity=False)
+    params = layer.init_params(jax.random.key(62))
+    z = jnp.clip(0.5 * _rand(63), -0.99, 0.99)
+    _check_forward_inverse(layer, params, z, atol=1e-3)
+
+
+def test_autoregressive_rqs_wrapper_identity_init():
+    from flowstate_tpu.flows import AutoregressiveRationalQuadraticSpline
+    layer = AutoregressiveRationalQuadraticSpline(
+        num_input_channels=D, num_blocks=2, num_hidden_channels=16,
+        num_bins=4, tail_bound=3.0, init_identity=True)
+    params = layer.init_params(jax.random.key(64))
+    z = 0.5 * _rand(65)
+    y, ld = layer.inverse(params, z)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(z), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld), 0.0, atol=1e-4)
+
+
+def test_image_prior_lookup_and_sampling():
+    from flowstate_tpu.flows import ImagePrior
+    img = np.zeros((8, 8))
+    img[0:4, 4:8] = 1.0  # bright top-right quadrant (rows = y from top)
+    prior = ImagePrior(img, x_range=(-1.0, 1.0), y_range=(-1.0, 1.0))
+    z = jnp.asarray([[0.9, 0.9], [-0.9, -0.9]])
+    lp = prior.log_prob(z)
+    assert lp.shape == (2,)
+    # the bright quadrant has much higher density than the dark one
+    assert float(lp[0]) - float(lp[1]) > 5.0
+    s = prior.sample(jax.random.key(66), 200)
+    assert s.shape == (200, 2)
+    assert np.all(np.abs(np.asarray(s)) <= 1.0)
+    # all accepted samples live in the bright quadrant (x>0, y>0)
+    frac_bright = np.mean((np.asarray(s) > 0.0).all(axis=1))
+    assert frac_bright > 0.95, frac_bright
+
+
+def test_small_nn_utilities():
+    from flowstate_tpu.flows import ClampExp, ConstScaleLayer, clamp_exp
+    x = jnp.asarray([-2.0, 0.0, 3.0])
+    np.testing.assert_allclose(
+        np.asarray(clamp_exp(x)), [np.exp(-2.0), 1.0, 1.0], rtol=1e-6)
+    assert ClampExp is clamp_exp
+    np.testing.assert_allclose(
+        np.asarray(ConstScaleLayer(2.5)(x)), np.asarray(x) * 2.5, rtol=1e-6)
+
+
+def test_distances_from_vectors_matches_compute_distances():
+    from flowstate_tpu.flows.utils import (
+        compute_distances, distances_from_vectors)
+    x = _rand(67, (8, 3 * 2))
+    conf = x.reshape(8, 3, 2)
+    rij = conf[:, :, None, :] - conf[:, None, :, :]
+    dmat = distances_from_vectors(rij, eps=0.0)
+    iu, ju = np.triu_indices(3, k=1)
+    np.testing.assert_allclose(
+        np.asarray(dmat[:, iu, ju]),
+        np.asarray(compute_distances(x, 3, 2)), atol=1e-5)

@@ -157,3 +157,87 @@ def test_lipschitz_cnn_contractive():
     num = np.linalg.norm(np.asarray(fx - fy).reshape(4, -1), axis=1)
     den = np.linalg.norm(np.asarray(x - y).reshape(4, -1), axis=1)
     assert np.all(num / den < 1.0)
+
+
+def test_residual_unbiased_estimator_mean_close_to_exact():
+    """Russian-roulette estimator is unbiased: key-averaged value ≈ exact."""
+    net = LipschitzMLP((D, 32, D), coeff=0.6)
+    params_net = net.update_lipschitz(
+        net.init_params(jax.random.key(7)), 20)
+    params = {"net": params_net}
+    exact_layer = Residual(net, estimator="exact", dim=D)
+    z = jax.random.normal(jax.random.key(8), (4, D))
+    _, ld_exact = exact_layer.inverse(params, z)
+
+    unb = Residual(net, estimator="unbiased", n_power_series=24,
+                   n_trace_samples=4, n_exact_terms=2, geom_p=0.5)
+    keys = jax.random.split(jax.random.key(9), 256)
+    lds = jax.vmap(lambda k: unb._logdet_unbiased(params, z, k))(keys)
+    mean_ld = np.asarray(jnp.mean(lds, axis=0))
+    np.testing.assert_allclose(mean_ld, np.asarray(ld_exact), atol=0.05)
+
+    # poisson roulette agrees too
+    unb_p = Residual(net, estimator="unbiased", n_dist="poisson",
+                     n_power_series=24, n_trace_samples=4,
+                     n_exact_terms=2, lamb=2.0)
+    lds_p = jax.vmap(lambda k: unb_p._logdet_unbiased(params, z, k))(keys)
+    np.testing.assert_allclose(np.asarray(jnp.mean(lds_p, axis=0)),
+                               np.asarray(ld_exact), atol=0.05)
+
+
+def test_roulette_distribution_helpers():
+    from flowstate_tpu.flows import geometric_sample, poisson_sample
+    from flowstate_tpu.flows.residual import geometric_1mcdf, poisson_1mcdf
+    g = np.asarray(geometric_sample(jax.random.key(10), 0.5, (4000,)))
+    assert g.min() >= 1
+    assert abs(g.mean() - 2.0) < 0.15          # E[Geom(0.5)] = 1/p = 2
+    p = np.asarray(poisson_sample(jax.random.key(11), 2.0, (4000,)))
+    assert abs(p.mean() - 2.0) < 0.15
+    # 1 - CDF values vs direct calculation, incl. the offset convention
+    assert geometric_1mcdf(0.5, 2, 2) == 1.0
+    np.testing.assert_allclose(geometric_1mcdf(0.5, 5, 2), 0.25)
+    np.testing.assert_allclose(poisson_1mcdf(2.0, 4, 2),
+                               1.0 - np.exp(-2.0) * (1 + 2.0), rtol=1e-6)
+
+
+def test_batch_jacobian_trace_helpers():
+    from flowstate_tpu.flows import batch_jacobian, batch_trace
+    w = jax.random.normal(jax.random.key(12), (D, D))
+    x = jax.random.normal(jax.random.key(13), (3, D))
+    jac = batch_jacobian(lambda v: jnp.tanh(v @ w), x)
+    assert jac.shape == (3, D, D)
+    sech2 = 1.0 - np.tanh(np.asarray(x) @ np.asarray(w)) ** 2
+    np.testing.assert_allclose(np.asarray(batch_trace(jac)),
+                               np.einsum("bd,dd->b", sech2,
+                                         np.asarray(w) * np.eye(D)),
+                               atol=1e-5)
+
+
+def test_conv_residual_net_shapes_and_near_identity_blocks():
+    from flowstate_tpu.flows import ConvResidualNet
+    net = ConvResidualNet(in_channels=2, out_channels=5, hidden_channels=8,
+                          num_blocks=2)
+    params = net.init_params(jax.random.key(14))
+    x = jax.random.normal(jax.random.key(15), (3, 2, 6, 6))
+    y = net.apply(params, x)
+    assert y.shape == (3, 5, 6, 6)
+    # zero-initialized second conv makes each block ≈ identity at init:
+    # the output equals final(initial(x)) to first order
+    direct = net.apply(
+        {**params, "blocks": [
+            {**b, "c2": {"w": jnp.zeros_like(b["c2"]["w"]),
+                         "b": jnp.zeros_like(b["c2"]["b"])}}
+            for b in params["blocks"]]}, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(direct), atol=0.05)
+
+
+def test_lipschitz_activations():
+    from flowstate_tpu.flows import asym_squash, leaky_elu
+    x = jnp.linspace(-5.0, 5.0, 101)
+    le = np.asarray(leaky_elu(x))
+    # matches the closed form a*x + (1-a)*elu(x)
+    np.testing.assert_allclose(
+        le, 0.3 * np.asarray(x) + 0.7 * np.asarray(jax.nn.elu(x)), atol=1e-6)
+    sq = np.asarray(asym_squash(x))
+    assert np.all((sq > 1.0) & (sq < 5.0))
+    assert np.all(np.diff(sq) > 0)  # monotone
