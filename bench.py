@@ -7,6 +7,9 @@ Prints ONE JSON line:
 The workload is the reference system (N=3 particles, rho=0.03, T=1.0,
 V0=[-10, -10.5] double well — main_algorithm_1.py:32-53) advanced by the
 batched engine: C chains vmapped on one chip, moves scanned within chains.
+Both engines are timed — the XLA scan engine and the Pallas on-chip move
+kernel (statistics validated on hardware; see mcmc/pallas_metropolis.py) —
+and the faster one is the headline value.
 
 Baseline provenance: the reference's serial numpy engine
 (/root/reference/MCMC/monte_carlo.py particle_displacement) measured on this
@@ -15,6 +18,7 @@ run after 200-move warmup, 2026-08-17).  BASELINE.md's north star is >=100x
 that per chip.
 """
 
+import functools
 import json
 import time
 
@@ -53,19 +57,39 @@ def main() -> None:
     def advance(s):
         return jax.vmap(lambda x: run_moves(spec, beta, x, MOVES_PER_CALL))(s)
 
-    # compile + warmup; sync via device_get (block_until_ready has been
-    # observed returning early through the remote-TPU tunnel)
-    state = advance(state)
-    _ = jax.device_get(state.energy)
+    def timed(step_fn, s):
+        # compile + warmup; sync via device_get (block_until_ready has been
+        # observed returning early through the remote-TPU tunnel)
+        s = step_fn(s)
+        _ = jax.device_get(s.energy)
+        t0 = time.perf_counter()
+        for _ in range(TIMED_CALLS):
+            s = step_fn(s)
+        _ = jax.device_get(s.energy)
+        dt = time.perf_counter() - t0
+        return NUM_CHAINS * MOVES_PER_CALL * TIMED_CALLS / dt, s
 
-    t0 = time.perf_counter()
-    for _ in range(TIMED_CALLS):
-        state = advance(state)
-    _ = jax.device_get(state.energy)
-    dt = time.perf_counter() - t0
+    xla_moves_per_s, state = timed(advance, state)
 
-    total_moves = NUM_CHAINS * MOVES_PER_CALL * TIMED_CALLS
-    moves_per_s = total_moves / dt
+    pallas_moves_per_s = 0.0
+    if jax.devices()[0].platform == "tpu":
+        from flowstate_tpu.mcmc.pallas_metropolis import run_moves_pallas
+
+        pallas_step = jax.jit(functools.partial(
+            run_moves_pallas, spec, beta, num_moves=MOVES_PER_CALL, seed=7))
+        try:
+            pallas_moves_per_s, state = timed(pallas_step, state)
+            # the kernel does not track virial move-by-move; restore the
+            # cached totals before sampling observables below
+            from flowstate_tpu.mcmc import resync_energy
+            state = resync_energy(spec, state)
+        except Exception:
+            pallas_moves_per_s = 0.0  # headline falls back to the scan engine
+
+    if pallas_moves_per_s > xla_moves_per_s:
+        moves_per_s, engine = pallas_moves_per_s, "pallas"
+    else:
+        moves_per_s, engine = xla_moves_per_s, "xla_scan"
 
     acc = float(jnp.sum(state.accepts)) / float(jnp.sum(state.attempts))
 
@@ -91,8 +115,10 @@ def main() -> None:
         "value": round(moves_per_s, 1),
         "unit": "moves/s",
         "vs_baseline": round(moves_per_s / REFERENCE_CPU_MOVES_PER_S, 2),
+        "engine": engine,
+        "xla_moves_per_s": round(xla_moves_per_s, 1),
+        "pallas_moves_per_s": round(pallas_moves_per_s, 1),
         "chains": NUM_CHAINS,
-        "moves_per_chain": MOVES_PER_CALL * (TIMED_CALLS + 1),
         "acceptance": round(acc, 4),
         "ess_per_s": round(ess_per_s, 1),
         "device": str(jax.devices()[0]),
