@@ -20,6 +20,7 @@ that per chip.
 
 import functools
 import json
+import sys
 import time
 
 import jax
@@ -73,18 +74,20 @@ def main() -> None:
 
     pallas_moves_per_s = 0.0
     if jax.devices()[0].platform == "tpu":
+        from flowstate_tpu.mcmc import resync_energy
         from flowstate_tpu.mcmc.pallas_metropolis import run_moves_pallas
 
+        # seed=None: the kernel derives a fresh per-call seed from state.key
         pallas_step = jax.jit(functools.partial(
-            run_moves_pallas, spec, beta, num_moves=MOVES_PER_CALL, seed=7))
+            run_moves_pallas, spec, beta, num_moves=MOVES_PER_CALL))
         try:
             pallas_moves_per_s, state = timed(pallas_step, state)
+        except Exception as e:  # headline falls back to the scan engine
+            print(f"pallas path failed: {e!r}", file=sys.stderr)
+        else:
             # the kernel does not track virial move-by-move; restore the
             # cached totals before sampling observables below
-            from flowstate_tpu.mcmc import resync_energy
             state = resync_energy(spec, state)
-        except Exception:
-            pallas_moves_per_s = 0.0  # headline falls back to the scan engine
 
     if pallas_moves_per_s > xla_moves_per_s:
         moves_per_s, engine = pallas_moves_per_s, "pallas"
@@ -97,9 +100,11 @@ def main() -> None:
     from flowstate_tpu.analysis import effective_sample_size
     from flowstate_tpu.mcmc import run_production_batch
 
+    # 256 samples/chain gives a stable Geyer IAT estimate (64-point series
+    # produced a ~5x run-to-run spread in the reported ESS/s)
     @jax.jit
     def produce(s):
-        return run_production_batch(spec, beta, s, 64, 25)
+        return run_production_batch(spec, beta, s, 256, 25)
 
     state2, obs = produce(state)
     _ = jax.device_get(state2.energy)
@@ -107,8 +112,8 @@ def main() -> None:
     state2, obs = produce(state2)
     energies = jax.device_get(obs.energy_per_particle)  # (C, T)
     dt_prod = time.perf_counter() - t0
-    ess = effective_sample_size(energies[:256])  # subsample chains for speed
-    ess_per_s = ess * (NUM_CHAINS / 256) / dt_prod
+    ess = effective_sample_size(energies[:512])  # subsample chains for speed
+    ess_per_s = ess * (NUM_CHAINS / 512) / dt_prod
 
     print(json.dumps({
         "metric": "mc_moves_per_s",

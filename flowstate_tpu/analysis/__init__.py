@@ -6,11 +6,6 @@ from flowstate_tpu.analysis.ess import (
     integrated_autocorr_time,
     sampling_efficiency,
 )
-from flowstate_tpu.analysis.plots import (
-    ICL_COLOR_CYCLE,
-    get_icl_heatmap_cmap,
-    set_icl_color_cycle,
-)
 from flowstate_tpu.analysis.rdf import calculate_pair_correlation
 from flowstate_tpu.analysis.wells import (
     OUTSIDE,
@@ -23,6 +18,21 @@ from flowstate_tpu.analysis.wells import (
     state_histogram_counts,
     well_centers,
 )
+
+_PLOT_EXPORTS = ("ICL_COLOR_CYCLE", "get_icl_heatmap_cmap",
+                 "set_icl_color_cycle")
+
+
+def __getattr__(name):
+    # Lazy: plots imports matplotlib + pyplot and pins the Agg backend; keep
+    # that out of consumers that only want the numeric analysis (bench,
+    # experiment drivers importing effective_sample_size).
+    if name in _PLOT_EXPORTS:
+        from flowstate_tpu.analysis import plots
+
+        return getattr(plots, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 
 __all__ = [
     "classify_particles", "calculate_well_statistics",

@@ -250,8 +250,12 @@ class CircularAutoregressiveRationalQuadraticSpline:
 
     Per-dim tails: ``"circular"`` for indices in ``ind_circ``, ``"linear"``
     otherwise (``wrapper.py:377-379``); the MADE input gets the cos/sin
-    periodic featurization at scale π/tail_bound.  Same MAF direction
-    convention as :class:`AutoregressiveRationalQuadraticSpline`.
+    periodic featurization at scale π/tail_bound applied to **all** dims —
+    matching the fork's modified ``PeriodicFeaturesElementwise``, whose
+    forward ignores ``ind`` and featurizes the whole input
+    (``utils/nn.py:120-137``; upstream normflows featurizes only the
+    circular dims).  Same MAF direction convention as
+    :class:`AutoregressiveRationalQuadraticSpline`.
     """
 
     num_input_channels: int

@@ -94,7 +94,6 @@ class ConvResidualNet:
     out_channels: int
     hidden_channels: int
     num_blocks: int = 2
-    activation = staticmethod(jax.nn.relu)
 
     def init_params(self, key: jax.Array):
         keys = jax.random.split(key, 2 + 2 * self.num_blocks)

@@ -251,17 +251,24 @@ class Residual:
     def _logdetgrad(self, params, x, key=None):
         if self.estimator == "exact":
             return self._logdet_exact(params, x)
-        if key is None:
-            key = jax.random.key(0)
         if self.estimator == "unbiased":
+            if key is None:
+                raise ValueError(
+                    "estimator='unbiased' needs a fresh PRNG key per call "
+                    "(pass key= to forward/inverse); with a fixed key the "
+                    "roulette draw repeats and the estimator is biased")
             return self._logdet_unbiased(params, x, key)
+        if self.estimator != "series":
+            raise ValueError(f"unknown estimator {self.estimator!r}")
+        if key is None:
+            key = jax.random.key(0)  # deterministic probes (documented)
         return self._logdet_series(params, x, key)
 
     # -- the residual map --------------------------------------------------
 
-    def _apply_map(self, params, x):
+    def _apply_map(self, params, x, key=None):
         g = self.net.apply(params["net"], x)
-        return x + g, self._logdetgrad(params, x)
+        return x + g, self._logdetgrad(params, x, key)
 
     def _inverse_fixed_point(self, params, y):
         """Banach iteration x <- y - g(x); ref ``residual.py:133-142``."""
@@ -271,18 +278,18 @@ class Residual:
         x0 = y - self.net.apply(params["net"], y)
         return jax.lax.fori_loop(0, self.fixed_point_iters, body, x0)
 
-    def forward(self, params, z):
+    def forward(self, params, z, key=None):
         if self.reverse:
             x = self._inverse_fixed_point(params, z)
-            _, ld = self._apply_map(params, x)
+            _, ld = self._apply_map(params, x, key)
             return x, -ld
-        return self._apply_map(params, z)
+        return self._apply_map(params, z, key)
 
-    def inverse(self, params, z):
+    def inverse(self, params, z, key=None):
         if self.reverse:
-            return self._apply_map(params, z)
+            return self._apply_map(params, z, key)
         x = self._inverse_fixed_point(params, z)
-        _, ld = self._apply_map(params, x)
+        _, ld = self._apply_map(params, x, key)
         return x, -ld
 
 

@@ -28,6 +28,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _take_accepted(z: jnp.ndarray, accept: jnp.ndarray,
+                   num_samples: int) -> jnp.ndarray:
+    """First ``num_samples`` accepted proposals, cycling through the
+    accepted set on shortfall (never returning rejected proposals; if
+    nothing is accepted the single clamped index repeats proposal 0 —
+    callers oversample enough that this is a measure-zero event for any
+    non-degenerate target)."""
+    order = jnp.argsort(~accept)  # accepted (False<True) first
+    n_acc = jnp.maximum(jnp.sum(accept), 1)
+    pick = jnp.mod(jnp.arange(num_samples), n_acc)
+    return z[order[pick]]
+
+
 def rejection_sample(target, key: jax.Array, num_samples: int,
                      prop_scale: float = 6.0, prop_shift: float = -3.0,
                      max_log_prob: float = 0.0,
@@ -35,8 +48,9 @@ def rejection_sample(target, key: jax.Array, num_samples: int,
     """Uniform-proposal rejection sampling; reference ``target.py:29-73``.
 
     Draws ``oversample * num_samples`` proposals in one device batch and
-    keeps the first ``num_samples`` accepted (padding with resampled
-    accepted points if short — statistically safe for the toy targets).
+    keeps the first ``num_samples`` accepted (padding by cycling through
+    the accepted points if short — statistically safe for the toy targets;
+    raise ``oversample`` for low-acceptance targets to avoid duplicates).
     """
     k_prop, k_acc = jax.random.split(key)
     n_prop = oversample * num_samples
@@ -44,12 +58,7 @@ def rejection_sample(target, key: jax.Array, num_samples: int,
         k_prop, (n_prop, target.n_dims))
     prob = jax.random.uniform(k_acc, (n_prop,))
     accept = jnp.exp(target.log_prob(z) - max_log_prob) > prob
-    # rank accepted first; any shortfall is filled by cycling through the
-    # accepted points (never by rejected proposals)
-    order = jnp.argsort(~accept)  # accepted (False<True) first
-    n_acc = jnp.maximum(jnp.sum(accept), 1)
-    pick = jnp.mod(jnp.arange(num_samples), n_acc)
-    return z[order[pick]]
+    return _take_accepted(z, accept, num_samples)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -262,16 +271,16 @@ class ImagePrior:
 
     def sample(self, key: jax.Array, num_samples: int,
                oversample: int = 8) -> jnp.ndarray:
+        """Per-round acceptance is mean(img)/max(img); for mostly-dark
+        images raise ``oversample`` (shortfall is filled by cycling the
+        accepted points, see ``_take_accepted``)."""
         k_prop, k_acc = jax.random.split(key)
         n_prop = oversample * num_samples
         z_ = jax.random.uniform(k_prop, (n_prop, 2))
         ind = (z_ * (self.shape - 1)).astype(jnp.int32)
         intensity = self.image[ind[:, 0], ind[:, 1]]
         accept = intensity > jax.random.uniform(k_acc, (n_prop,))
-        order = jnp.argsort(~accept)
-        n_acc = jnp.maximum(jnp.sum(accept), 1)
-        pick = jnp.mod(jnp.arange(num_samples), n_acc)
-        return z_[order[pick]] * self.scale + self.shift
+        return _take_accepted(z_, accept, num_samples) * self.scale + self.shift
 
 
 @dataclasses.dataclass(frozen=True)

@@ -241,3 +241,22 @@ def test_lipschitz_activations():
     sq = np.asarray(asym_squash(x))
     assert np.all((sq > 1.0) & (sq < 5.0))
     assert np.all(np.diff(sq) > 0)  # monotone
+
+
+def test_residual_unbiased_requires_key_through_public_api():
+    net = LipschitzMLP((D, 16, D), coeff=0.6)
+    layer = Residual(net, estimator="unbiased", n_power_series=8)
+    params = layer.init_params(jax.random.key(20))
+    z = jax.random.normal(jax.random.key(21), (2, D))
+    try:
+        layer.inverse(params, z)
+        raise AssertionError("expected ValueError without a key")
+    except ValueError:
+        pass
+    _, ld = layer.inverse(params, z, key=jax.random.key(22))
+    assert np.all(np.isfinite(np.asarray(ld)))
+    try:
+        Residual(net, estimator="nope").inverse(params, z)
+        raise AssertionError("expected ValueError for unknown estimator")
+    except ValueError:
+        pass
