@@ -36,6 +36,15 @@ from flowstate_tpu.mcmc.observables import (
 )
 from flowstate_tpu.mcmc.pallas_metropolis import run_moves_pallas
 from flowstate_tpu.mcmc.state import ChainState, init_chain_state, resync_energy
+from flowstate_tpu.mcmc.tempering import (
+    ReplicaExchangeResult,
+    SwapResult,
+    init_tempered_state,
+    run_replica_exchange,
+    run_tempered_moves,
+    swap_replicas,
+    temperature_ladder,
+)
 
 __all__ = [
     "ChainState", "init_chain_state", "resync_energy",
@@ -50,4 +59,7 @@ __all__ = [
     "initialise_fcc_left_half", "initialise_fcc_right_half",
     "init_alternating_wells",
     "check_equilibration", "acceptance_fraction", "ensemble_acceptance",
+    "temperature_ladder", "init_tempered_state", "run_tempered_moves",
+    "swap_replicas", "run_replica_exchange",
+    "SwapResult", "ReplicaExchangeResult",
 ]
