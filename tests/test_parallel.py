@@ -107,3 +107,38 @@ def test_graft_entry_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_tempering_matches_single_device():
+    """PT walkers shard over the mesh exactly like plain chains: the walker
+    axis is data-parallel, the (small) replica axis stays on-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from flowstate_tpu.mcmc import (
+        init_tempered_state, run_replica_exchange, temperature_ladder,
+    )
+
+    spec = _spec()
+    mesh = make_chain_mesh(n_devices=4)
+    betas = temperature_ladder(1.0, 4.0, 3)
+    lx = spec.box.size_x
+    pos = np.tile(np.array([[lx / 4, lx / 2], [lx / 4 + 1.1, lx / 2],
+                            [lx / 4 - 0.6, lx / 2 + 0.9]], dtype=np.float32),
+                  (3, 8, 1, 1))
+    state = init_tempered_state(spec, jnp.asarray(pos), jax.random.key(3),
+                                0.65)
+
+    run = lambda s, k: run_replica_exchange(spec, betas, s, k,
+                                            num_rounds=6, moves_per_round=10)
+    ref = jax.jit(run)(state, jax.random.key(4))
+
+    # shard the walker axis (axis 1 of every (R, W, ...) leaf)
+    walker_sharding = NamedSharding(mesh, P(None, CHAIN_AXIS))
+    sharded = jax.tree.map(
+        lambda x: jax.device_put(x, walker_sharding), state)
+    out = jax.jit(run)(sharded, jax.random.key(4))
+
+    np.testing.assert_allclose(np.asarray(out.state.positions),
+                               np.asarray(ref.state.positions), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.edge_acceptance),
+                               np.asarray(ref.edge_acceptance), atol=1e-6)
