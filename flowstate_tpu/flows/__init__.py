@@ -29,6 +29,7 @@ from flowstate_tpu.flows.image import (
 from flowstate_tpu.flows.models import (
     ClassCondFlow,
     ConditionalNormalizingFlow,
+    ContextAffineCoupling,
     MultiscaleFlow,
 )
 from flowstate_tpu.flows.residual import (
@@ -121,7 +122,7 @@ __all__ = [
     # model
     "NormalizingFlow", "build_circular_flow", "NormalizingFlowVAE",
     "ScannedLayers", "generate_samples",
-    "ConditionalNormalizingFlow", "ClassCondFlow", "MultiscaleFlow",
+    "ConditionalNormalizingFlow", "ContextAffineCoupling", "ClassCondFlow", "MultiscaleFlow",
     # residual + image
     "Residual", "LipschitzMLP", "LipschitzCNN", "lipswish",
     "geometric_sample", "poisson_sample", "batch_jacobian", "batch_trace",

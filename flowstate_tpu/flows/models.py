@@ -21,6 +21,65 @@ import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
+class ContextAffineCoupling:
+    """Affine coupling whose parameter net sees [identity_half, context].
+
+    The context-capable layer for :class:`ConditionalNormalizingFlow`.  The
+    reference threads context into the coupling's ``ResidualNet`` through a
+    GLU gate (``nets/resnet.py:48-49``); here the context simply concatenates
+    onto the conditioner input — same information flow, one fused matmul.
+    Sigmoid-bounded scale map (``affine/coupling.py`` ``scale_map='sigmoid'``
+    semantics) for unconditional stability.
+    """
+
+    features: int
+    context_features: int
+    hidden_features: int = 64
+    flip: bool = False  # transform the other half (alternate between layers)
+
+    def _split(self, z):
+        half = self.features // 2
+        if self.flip:
+            return z[:, half:], z[:, :half], half
+        return z[:, :half], z[:, half:], half
+
+    def _join(self, ident, trans):
+        if self.flip:
+            return jnp.concatenate([trans, ident], axis=-1)
+        return jnp.concatenate([ident, trans], axis=-1)
+
+    def _net(self):
+        from flowstate_tpu.flows.nets import MLP
+
+        half = self.features // 2
+        out = 2 * (self.features - half)
+        return MLP((half + self.context_features, self.hidden_features,
+                    self.hidden_features, out), init_zeros=True)
+
+    def init_params(self, key: jax.Array):
+        return {"net": self._net().init_params(key)}
+
+    def _shift_log_scale(self, params, ident, context):
+        raw = self._net().apply(params["net"],
+                                jnp.concatenate([ident, context], axis=-1))
+        shift, s = jnp.split(raw, 2, axis=-1)
+        log_scale = jnp.log(jax.nn.sigmoid(s + 2.0) + 1e-3)
+        return shift, log_scale
+
+    def forward(self, params, z, context=None):
+        ident, trans, _ = self._split(z)
+        shift, log_scale = self._shift_log_scale(params, ident, context)
+        trans = trans * jnp.exp(log_scale) + shift
+        return self._join(ident, trans), jnp.sum(log_scale, axis=-1)
+
+    def inverse(self, params, x, context=None):
+        ident, trans, _ = self._split(x)
+        shift, log_scale = self._shift_log_scale(params, ident, context)
+        trans = (trans - shift) * jnp.exp(-log_scale)
+        return self._join(ident, trans), -jnp.sum(log_scale, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
 class ConditionalNormalizingFlow:
     """Flow whose layers and base take a context vector; ref core.py:233-383."""
 
