@@ -5,6 +5,11 @@ Reference demo scale: 10 chains, 10,240 training samples, 20 epochs,
 this runs in well under a minute of device time on one TPU chip).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from flowstate_tpu.experiments import algorithm1
 from flowstate_tpu.utils.config import algorithm1_config
 

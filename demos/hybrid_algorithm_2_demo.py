@@ -4,6 +4,11 @@ Reference demo scale: 50 on-the-fly training cycles (the notebook reports
 ~10 min on an M1 CPU).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from flowstate_tpu.experiments import algorithm2
 from flowstate_tpu.utils.config import algorithm2_config
 

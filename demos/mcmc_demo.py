@@ -4,6 +4,11 @@ A short baseline run of the batched engine on the 3-particle LJ double-well
 system with plots of the sampled trajectory.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from flowstate_tpu.experiments import mcmc_only
 from flowstate_tpu.utils.config import mcmc_only_config
 

@@ -4,6 +4,11 @@ Trains a small circular-spline flow on the TwoMoons-like torus data
 produced by a short MCMC run and visualizes the learned density.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
