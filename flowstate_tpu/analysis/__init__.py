@@ -6,6 +6,12 @@ from flowstate_tpu.analysis.ess import (
     integrated_autocorr_time,
     sampling_efficiency,
 )
+from flowstate_tpu.analysis.mbar import (
+    mbar_expectation,
+    mbar_free_energies,
+    mbar_log_weights,
+    pt_well_delta_f,
+)
 from flowstate_tpu.analysis.rdf import calculate_pair_correlation
 from flowstate_tpu.analysis.wells import (
     OUTSIDE,
@@ -39,6 +45,8 @@ __all__ = [
     "state_histogram_counts", "average_free_energy", "well_centers",
     "calculate_pair_correlation",
     "set_icl_color_cycle", "get_icl_heatmap_cmap", "ICL_COLOR_CYCLE",
+    "mbar_free_energies", "mbar_log_weights", "mbar_expectation",
+    "pt_well_delta_f",
     "effective_sample_size", "integrated_autocorr_time", "autocorrelation",
     "sampling_efficiency",
     "WELL_A", "WELL_B", "OUTSIDE", "STATE_LABELS",

@@ -137,22 +137,29 @@ class ReplicaExchangeResult(NamedTuple):
     state: ChainState
     # fraction of accepted swaps per ladder edge i <-> i+1, shape (R-1,)
     edge_acceptance: jnp.ndarray
-    # cold-replica positions sampled after every round, (T, W, N, 2)
+    # trajectory recorded after every round:
+    #   record='cold' -> cold replica only, (T, W, N, 2) / (T, W)
+    #   record='all'  -> every replica (for MBAR pooling,
+    #                    analysis/mbar.py), (T, R, W, N, 2) / (T, R, W)
     cold_positions: jnp.ndarray
-    # cold-replica energies after every round, (T, W)
     cold_energy: jnp.ndarray
 
 
 def run_replica_exchange(spec: SystemSpec, betas: jnp.ndarray,
                          state: ChainState, key: jax.Array,
-                         num_rounds: int,
-                         moves_per_round: int) -> ReplicaExchangeResult:
+                         num_rounds: int, moves_per_round: int,
+                         record: str = "cold") -> ReplicaExchangeResult:
     """The full PT loop: {local moves at every temperature, one exchange
-    sweep with alternating parity}, recording the cold replica's trajectory.
+    sweep with alternating parity}, recording the sampled trajectory.
 
-    One ``lax.scan`` over rounds — jit this whole function; wall-clock is
-    the local moves (the swap is O(R·W) elementwise).
+    ``record='cold'`` keeps only the target-temperature replica (the
+    occupancy observable); ``record='all'`` keeps every replica so MBAR
+    (``analysis/mbar.py``) can pool the whole ladder.  One ``lax.scan``
+    over rounds — jit this whole function; wall-clock is the local moves
+    (the swap is O(R·W) elementwise).
     """
+    if record not in ("cold", "all"):
+        raise ValueError(f"unknown record mode {record!r}")
     r = betas.shape[0]
 
     def body(carry, i):
@@ -165,12 +172,14 @@ def run_replica_exchange(spec: SystemSpec, betas: jnp.ndarray,
         att = res.edge_attempted[:-1].astype(jnp.float32)
         acc = (jnp.mean(res.accepted.astype(jnp.float32), axis=1)[:-1]
                * att)
-        return (res.state, k), (acc, att,
-                                res.state.positions[0],
-                                res.state.energy[0])
+        if record == "all":
+            rec = (res.state.positions, res.state.energy)
+        else:
+            rec = (res.state.positions[0], res.state.energy[0])
+        return (res.state, k), (acc, att) + rec
 
-    (state, _), (acc, att, cold_pos, cold_e) = jax.lax.scan(
+    (state, _), (acc, att, rec_pos, rec_e) = jax.lax.scan(
         body, (state, key), jnp.arange(num_rounds))
     edge_acceptance = jnp.sum(acc, axis=0) / jnp.maximum(
         jnp.sum(att, axis=0), 1.0)
-    return ReplicaExchangeResult(state, edge_acceptance, cold_pos, cold_e)
+    return ReplicaExchangeResult(state, edge_acceptance, rec_pos, rec_e)
