@@ -143,12 +143,17 @@ class ReplicaExchangeResult(NamedTuple):
     #                    analysis/mbar.py), (T, R, W, N, 2) / (T, R, W)
     cold_positions: jnp.ndarray
     cold_energy: jnp.ndarray
+    # per-round record_fn(state) outputs stacked over rounds (None when no
+    # record_fn was given) — compute observables ON DEVICE instead of
+    # shipping every replica's raw positions over PCIe/the TPU tunnel
+    extras: object
 
 
 def run_replica_exchange(spec: SystemSpec, betas: jnp.ndarray,
                          state: ChainState, key: jax.Array,
                          num_rounds: int, moves_per_round: int,
-                         record: str = "cold") -> ReplicaExchangeResult:
+                         record: str = "cold",
+                         record_fn=None) -> ReplicaExchangeResult:
     """The full PT loop: {local moves at every temperature, one exchange
     sweep with alternating parity}, recording the sampled trajectory.
 
@@ -176,10 +181,12 @@ def run_replica_exchange(spec: SystemSpec, betas: jnp.ndarray,
             rec = (res.state.positions, res.state.energy)
         else:
             rec = (res.state.positions[0], res.state.energy[0])
-        return (res.state, k), (acc, att) + rec
+        extra = record_fn(res.state) if record_fn is not None else 0
+        return (res.state, k), (acc, att) + rec + (extra,)
 
-    (state, _), (acc, att, rec_pos, rec_e) = jax.lax.scan(
+    (state, _), (acc, att, rec_pos, rec_e, extras) = jax.lax.scan(
         body, (state, key), jnp.arange(num_rounds))
     edge_acceptance = jnp.sum(acc, axis=0) / jnp.maximum(
         jnp.sum(att, axis=0), 1.0)
-    return ReplicaExchangeResult(state, edge_acceptance, rec_pos, rec_e)
+    return ReplicaExchangeResult(state, edge_acceptance, rec_pos, rec_e,
+                                 extras if record_fn is not None else None)

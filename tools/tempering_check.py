@@ -63,11 +63,30 @@ def main(argv=None) -> dict:
     state = init_tempered_state(spec, jnp.asarray(pos), jax.random.key(11),
                                 0.65)
 
+    # on-device per-round record: every replica's energy + all-A/all-B
+    # indicators (shipping raw all-replica positions over the TPU tunnel is
+    # ~200 MB; these are ~50 MB)
+    centers = jnp.asarray([[lx / 4, ly / 2], [3 * lx / 4, ly / 2]])
+    radius2 = (1.1 * spec.r0) ** 2
+
+    def well_indicators(positions):  # (..., N, 2) -> all_a, all_b (...)
+        d = positions[..., None, :] - centers
+        d = d - lx * jnp.round(d / lx)
+        inside = jnp.sum(d * d, axis=-1) <= radius2  # (..., N, 2wells)
+        return jnp.all(inside[..., 0], axis=-1), jnp.all(inside[..., 1],
+                                                         axis=-1)
+
+    def record_fn(st):
+        a, b = well_indicators(st.positions)  # (R, W)
+        return st.energy, a, b
+
     run = jax.jit(lambda s, k: run_replica_exchange(
         spec, betas, s, k, num_rounds=args.rounds,
-        moves_per_round=args.moves_per_round))
+        moves_per_round=args.moves_per_round, record_fn=record_fn))
     result = run(state, jax.random.key(12))
     cold = np.asarray(jax.device_get(result.cold_positions))  # (T, W, 3, 2)
+    e_all, a_all, b_all = (np.asarray(jax.device_get(x))
+                           for x in result.extras)  # (T, R, W) each
     edge_acc = np.asarray(jax.device_get(result.edge_acceptance))
 
     burn = args.rounds // 3
@@ -85,10 +104,23 @@ def main(argv=None) -> dict:
                            np.array_split(all_b, 4))]
     sem = float(np.std(dfs) / np.sqrt(len(dfs)))
 
+    # MBAR over ALL replicas (analysis/mbar.py): pools the whole ladder
+    from flowstate_tpu.analysis.mbar import pt_well_delta_f
+
+    t, r, w = e_all[burn:].shape
+    energies = np.transpose(e_all[burn:], (1, 0, 2)).reshape(r, t * w)
+    pooled_a = np.transpose(a_all[burn:], (1, 0, 2)).reshape(-1)
+    pooled_b = np.transpose(b_all[burn:], (1, 0, 2)).reshape(-1)
+    with jax.enable_x64(True):
+        df_mbar, _ = pt_well_delta_f(
+            jnp.asarray(energies), betas,
+            jnp.asarray(pooled_a), jnp.asarray(pooled_b))
+
     summary = {
         "metric": "pt_delta_f",
         "value": round(df, 4),
         "sem": round(sem, 4),
+        "mbar_all_replicas": round(df_mbar, 4),
         "exact": EXACT_DF,
         "edge_acceptance_min": round(float(edge_acc.min()), 4),
         "edge_acceptance_max": round(float(edge_acc.max()), 4),
@@ -113,6 +145,8 @@ def main(argv=None) -> dict:
             f"| edge swap acceptance | {edge_acc.min():.3f} – "
             f"{edge_acc.max():.3f} |\n"
             f"| **ΔF (PT, cold replica)** | **{df:.4f} ± {sem:.4f}** |\n"
+            f"| ΔF (MBAR over all {args.replicas} replicas) | "
+            f"{df_mbar:.4f} |\n"
             f"| ΔF exact (quadrature) | {EXACT_DF} |\n"
             f"| ΔF (NF hybrid, RESULTS.md) | 1.4726 ± 0.057 |\n\n"
             "Agreement across quadrature, flow-guided sampling, and "
