@@ -58,10 +58,11 @@ class MetricsWriter:
 
 def _json_default(o):
     import numpy as np
-    if isinstance(o, np.ndarray):
-        return o.tolist()
     if isinstance(o, (np.floating, np.integer)):
         return o.item()
+    if hasattr(o, "__array__"):  # numpy AND jax arrays (incl. 0-d scalars)
+        a = np.asarray(o)
+        return a.item() if a.ndim == 0 else a.tolist()
     return str(o)
 
 

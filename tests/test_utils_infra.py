@@ -1,0 +1,70 @@
+"""Tests for the infra utilities: profiling hooks, loggers, metrics, params
+snapshots (the aux-subsystem layer of SURVEY.md §5)."""
+
+import json
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_phase_timer_and_annotate():
+    from flowstate_tpu.utils.profiling import PhaseTimer, annotate
+
+    timer = PhaseTimer()
+    x = jnp.arange(8.0)
+    with timer.phase("square", sync_on=x):
+        y = x * x
+    with timer.phase("square"):
+        _ = x + 1
+    with annotate("region"):
+        _ = jax.device_get(y)
+    s = timer.summary()
+    assert s["square"]["count"] == 2
+    assert s["square"]["total_s"] >= s["square"]["mean_s"] > 0
+
+
+def test_trace_writes_profile(tmp_path):
+    from flowstate_tpu.utils.profiling import trace
+
+    log_dir = str(tmp_path / "prof")
+    with trace(log_dir):
+        _ = jax.device_get(jnp.arange(64.0).sum())
+    found = []
+    for root, _, files in os.walk(log_dir):
+        found += files
+    assert found, "profiler trace wrote no files"
+
+
+def test_setup_logger_and_metrics(tmp_path):
+    from flowstate_tpu.utils.logging import (
+        MetricsWriter, save_params_json, setup_logger,
+    )
+
+    log_file = str(tmp_path / "run.log")
+    logger = setup_logger("t_infra", log_file)
+    logger.info("hello")
+    logger.debug("debug-line")
+    for h in logger.handlers:
+        h.flush()
+    content = open(log_file).read()
+    assert "hello" in content and "debug-line" in content  # file at DEBUG
+
+    m = MetricsWriter(str(tmp_path / "metrics.jsonl"))
+    m.log("cycle", cycle=1, loss=float(np.float32(0.5)),
+          arr=jnp.arange(2))
+    m.close()
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert rows[0]["event"] == "cycle" and rows[0]["cycle"] == 1
+    assert rows[0]["arr"] == [0, 1]
+
+    p = save_params_json({"a": 1, "b": jnp.float32(2.5)}, str(tmp_path))
+    snap = json.load(open(p))
+    assert snap["a"] == 1 and abs(snap["b"] - 2.5) < 1e-6
+
+    # per-run loggers don't duplicate handlers on re-setup
+    logger2 = setup_logger("t_infra", log_file)
+    assert logger2 is logging.getLogger("t_infra")
+    assert len(logger2.handlers) <= 3
