@@ -98,3 +98,22 @@ def test_npz_trainer(tmp_path):
     assert np.isfinite(result["final_loss"])
     assert os.path.exists(str(tmp_path / "out" / "trained_model.pkl"))
     assert os.path.exists(str(tmp_path / "out" / "frequency_heatmap.png"))
+
+
+def test_ess_check_tool_smoke(tmp_path):
+    """tools/ess_check.py at tiny scale: runs all three phases (plain,
+    train, hybrid), writes the report, returns well-formed metrics."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ess_check", os.path.join(os.path.dirname(__file__), "..",
+                                  "tools", "ess_check.py"))
+    ess_check = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ess_check)
+    out = str(tmp_path / "ESS.md")
+    result = ess_check.main(["--chains", "4", "--rounds", "4",
+                             "--moves_per_round", "5", "--epochs", "1",
+                             "--out", out])
+    assert result["metric"] == "well_state_ess_per_s"
+    assert result["value"] >= 0.0
+    assert 0.0 <= result["hybrid_acceptance"] <= 1.0
+    assert os.path.exists(out)
