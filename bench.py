@@ -115,6 +115,8 @@ def main() -> None:
     ess = effective_sample_size(energies[:512])  # subsample chains for speed
     ess_per_s = ess * (NUM_CHAINS / 512) / dt_prod
 
+    hybrid = hybrid_phase_bench(spec, beta, state)
+
     print(json.dumps({
         "metric": "mc_moves_per_s",
         "value": round(moves_per_s, 1),
@@ -126,8 +128,98 @@ def main() -> None:
         "chains": NUM_CHAINS,
         "acceptance": round(acc, 4),
         "ess_per_s": round(ess_per_s, 1),
+        **hybrid,
         "device": str(jax.devices()[0]),
     }))
+
+
+def hybrid_phase_bench(spec, beta, state) -> dict:
+    """Flow-phase throughput: batched big moves and training steps.
+
+    The reference's structural bottleneck is one CPU<->GPU round trip per
+    big-move proposal (monte_carlo.py:255-262, one config at a time); here
+    one device batch proposes + judges for all chains at once, so the
+    number to record is whole-ensemble big-move rounds/s.  Training is the
+    A1 full-scale config (batch 512, K=15, hidden 256, 32 bins —
+    main_algorithm_1.py:57-67).
+    """
+    from flowstate_tpu.flows import build_circular_flow
+    from flowstate_tpu.mcmc.hybrid import nf_big_moves
+    from flowstate_tpu.training import TrainConfig, make_optimizer
+    from flowstate_tpu.training.train import TrainState, make_train_step
+    from flowstate_tpu.training.data import epoch_batches
+
+    half_box = float(spec.box.size_x) / 2
+    model = build_circular_flow(3, 2, half_box, K=15, hidden_units=256,
+                                num_bins=32, num_blocks=2)
+    params = model.init_params(jax.random.key(7))
+
+    # -- big moves: sample_and_log_prob + batched energies + MH, all chains
+    @jax.jit
+    def big_round(s):
+        return nf_big_moves(spec, beta, s, model, params, half_box).state
+
+    s = big_round(state)                       # compile + warmup
+    _ = jax.device_get(s.energy)
+    t0 = time.perf_counter()
+    for _ in range(TIMED_CALLS):
+        s = big_round(s)
+    _ = jax.device_get(s.energy)
+    dt_big = time.perf_counter() - t0
+    big_moves_per_s = NUM_CHAINS * TIMED_CALLS / dt_big
+
+    # -- training steps/s at the A1 config, one full jitted epoch ---------
+    cfg = TrainConfig(batch_size=512, epochs=1, lr=1e-4)
+    data = jax.random.uniform(jax.random.key(8), (102400, 6),
+                              minval=-half_box, maxval=half_box)
+    optimizer = make_optimizer(cfg)
+    step = make_train_step(model, cfg, optimizer)
+    tstate = TrainState(params, optimizer.init(params), jax.random.key(9))
+
+    @jax.jit
+    def run_epoch(ts, shuffle_key):
+        batches = epoch_batches(shuffle_key, data, cfg.batch_size)
+        ts, losses = jax.lax.scan(step, ts, batches)
+        return ts, losses
+
+    n_steps = data.shape[0] // cfg.batch_size
+    tstate, _ = run_epoch(tstate, jax.random.key(10))  # compile + warmup
+    _ = jax.device_get(jax.tree_util.tree_leaves(tstate.params)[0])
+    epochs_timed = 3
+    t0 = time.perf_counter()
+    for i in range(epochs_timed):
+        tstate, losses = run_epoch(tstate, jax.random.key(11 + i))
+    _ = jax.device_get(losses[-1])
+    dt_train = time.perf_counter() - t0
+    train_steps_per_s = n_steps * epochs_timed / dt_train
+
+    # -- MFU / arithmetic intensity of the training step from the compiled
+    #    program's own cost model (spline-coupling matmuls dominate) ------
+    out = {
+        "big_moves_per_s": round(big_moves_per_s, 1),
+        "big_move_chains": NUM_CHAINS,
+        "train_steps_per_s": round(train_steps_per_s, 2),
+        "train_batch": cfg.batch_size,
+    }
+    try:
+        batch0 = data[: cfg.batch_size]
+        cost = (jax.jit(step).lower(tstate, batch0).compile()
+                .cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        nbytes = float(cost.get("bytes accessed", 0.0))
+        if flops > 0:
+            # v5e peak: 197 TFLOP/s bf16 (compute runs f32 here, so this
+            # MFU is conservative w.r.t. the achievable f32 roof)
+            out["train_step_gflops"] = round(flops / 1e9, 2)
+            out["train_mfu_vs_bf16_peak"] = round(
+                flops * train_steps_per_s / 197e12, 4)
+            if nbytes > 0:
+                out["train_arith_intensity"] = round(flops / nbytes, 2)
+    except Exception as e:
+        print(f"cost analysis unavailable: {e!r}", file=sys.stderr)
+    return out
 
 
 if __name__ == "__main__":

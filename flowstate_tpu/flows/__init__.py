@@ -32,6 +32,16 @@ from flowstate_tpu.flows.models import (
     ContextAffineCoupling,
     MultiscaleFlow,
 )
+from flowstate_tpu.flows.lipschitz import (
+    InducedNormCNN,
+    InducedNormConv2d,
+    InducedNormLinear,
+    InducedNormMLP,
+    normalize_u,
+    normalize_v,
+    projmax,
+    vector_norm,
+)
 from flowstate_tpu.flows.residual import (
     LipschitzCNN,
     LipschitzMLP,
@@ -125,6 +135,9 @@ __all__ = [
     "ConditionalNormalizingFlow", "ContextAffineCoupling", "ClassCondFlow", "MultiscaleFlow",
     # residual + image
     "Residual", "LipschitzMLP", "LipschitzCNN", "lipswish",
+    "InducedNormLinear", "InducedNormConv2d", "InducedNormMLP",
+    "InducedNormCNN", "normalize_u", "normalize_v", "projmax",
+    "vector_norm",
     "geometric_sample", "poisson_sample", "batch_jacobian", "batch_trace",
     "leaky_elu", "asym_squash",
     "GlowBlock", "ConvNet2d", "ConvResidualNet", "ActNormImage",

@@ -13,8 +13,9 @@ Metropolis rule); only the PRNG stream differs (counter-based on-chip
 generator vs threefry tables), so agreement with the reference engine is
 statistical — asserted by the Boltzmann quadrature test.
 
-Layout: positions as two (8, C_BLK) planes (x and y), particle index in
-sublanes (rows >= N masked), C_BLK = 512 chains per grid program.
+Layout: positions as two (rows, C_BLK) planes (x and y), particle index in
+sublanes (rows = N padded to a multiple of 8; rows >= N masked), C_BLK =
+512 chains per grid program; the chain axis auto-pads to a C_BLK multiple.
 
 Measured on v5e (16,384 chains): 922 Mmoves/s vs 806 Mmoves/s for the
 XLA scan engine — both sit at the VPU throughput roof for this per-move
@@ -37,7 +38,12 @@ from flowstate_tpu.mcmc.state import ChainState
 from flowstate_tpu.ops.pair_energy import SystemSpec
 
 C_BLK = 512        # chains per grid program (lanes; multiple of 128)
-ROWS = 8           # particle axis padded to the fp32 sublane count
+ROWS = 8           # fp32 sublane count: the particle axis is padded to a
+                   # multiple of this (N <= 8 -> one sublane tile; larger N
+                   # uses multi-sublane tiles up to MAX_PARTICLES)
+MAX_PARTICLES = 32  # beyond this the XLA scan engine wins (dispatch in
+                    # run_moves_auto); 32 rows x 512 lanes keeps every
+                    # per-move temporary comfortably in VMEM
 HARD_CORE_E = 1e30  # finite stand-in for +inf inside the kernel
 
 
@@ -53,8 +59,10 @@ def _uniform_from_bits(bits):
 
 def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
                  px_out, py_out, e_out, acc_out, *,
-                 spec: SystemSpec, beta: float, num_moves: int):
+                 spec: SystemSpec, beta: float, num_moves: int,
+                 rows: int = ROWS):
     """One chain block: ``num_moves`` sequential Metropolis updates."""
+    ROWS = rows  # particle-axis tile height (multiple of 8)
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     n = spec.num_particles
@@ -157,33 +165,58 @@ def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
                      interpret: bool = False) -> ChainState:
     """Advance a batched ChainState by ``num_moves`` with the on-chip kernel.
 
-    Chains must be a multiple of C_BLK (pad upstream if needed); particle
-    count must be <= 8.  Virial is NOT tracked move-by-move here (it is an
-    observable, not needed for acceptance) — callers resync totals with
-    ``resync_energy`` before sampling pressure.
+    Any chain count is accepted (the batch is padded on-device to the next
+    multiple of C_BLK and the padding is dropped on return) and any
+    particle count up to MAX_PARTICLES (the particle axis tiles over
+    multiple sublane rows); above that, use ``run_moves_auto`` which falls
+    back to the XLA scan engine.
+
+    The virial is NOT tracked move-by-move (it is an observable, not
+    needed for acceptance), so the returned state's ``virial`` field is
+    POISONED with NaN: any pressure computed from it is visibly wrong
+    instead of silently stale.  ``resync_energy`` restores it (and clears
+    the accumulated fp32 energy drift) before observable sampling.
     """
     c = state.positions.shape[0]
     n = spec.num_particles
-    assert n <= ROWS, "pallas move kernel supports up to 8 particles"
-    assert c % C_BLK == 0, f"chains ({c}) must be a multiple of {C_BLK}"
-    blocks = c // C_BLK
+    if n > MAX_PARTICLES:
+        raise ValueError(
+            f"pallas move kernel supports up to {MAX_PARTICLES} particles "
+            f"(got {n}); use run_moves_auto for automatic dispatch")
+    rows = ((n + ROWS - 1) // ROWS) * ROWS
 
-    # (C, N, 2) -> (blocks, ROWS, C_BLK) planes
+    # pad the chain axis to a C_BLK multiple (edge-replicated padding:
+    # padded chains run real physics on copies and are discarded)
+    c_pad = ((c + C_BLK - 1) // C_BLK) * C_BLK
+    pad = c_pad - c
+    positions = jnp.concatenate(
+        [state.positions, jnp.broadcast_to(state.positions[-1:],
+                                           (pad, n, 2))]) \
+        if pad else state.positions
+    energy = jnp.concatenate(
+        [state.energy, jnp.broadcast_to(state.energy[-1:], (pad,))]) \
+        if pad else state.energy
+    max_disp = jnp.concatenate(
+        [state.max_disp, jnp.broadcast_to(state.max_disp[-1:], (pad,))]) \
+        if pad else state.max_disp
+    blocks = c_pad // C_BLK
+
+    # (C_pad, N, 2) -> (blocks, rows, C_BLK) planes
     def to_planes(coord):
-        arr = state.positions[..., coord]  # (C, N)
-        arr = jnp.pad(arr, ((0, 0), (0, ROWS - n)))
-        return (arr.reshape(blocks, C_BLK, ROWS)
+        arr = positions[..., coord]  # (C_pad, N)
+        arr = jnp.pad(arr, ((0, 0), (0, rows - n)))
+        return (arr.reshape(blocks, C_BLK, rows)
                 .transpose(0, 2, 1)
-                .reshape(blocks * ROWS, C_BLK))
+                .reshape(blocks * rows, C_BLK))
 
     px = to_planes(0)
     py = to_planes(1)
     e_in = jnp.broadcast_to(
-        state.energy.reshape(blocks, 1, C_BLK),
-        (blocks, ROWS, C_BLK)).reshape(blocks * ROWS, C_BLK)
+        energy.reshape(blocks, 1, C_BLK),
+        (blocks, rows, C_BLK)).reshape(blocks * rows, C_BLK)
     md_in = jnp.broadcast_to(
-        state.max_disp.reshape(blocks, 1, C_BLK),
-        (blocks, ROWS, C_BLK)).reshape(blocks * ROWS, C_BLK)
+        max_disp.reshape(blocks, 1, C_BLK),
+        (blocks, rows, C_BLK)).reshape(blocks * rows, C_BLK)
     zeros = jnp.zeros_like(e_in)
     if seed is None:
         # derive from chain 0's PRNG stream so successive calls get fresh
@@ -191,58 +224,58 @@ def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
         seed = jax.random.randint(state.key[0], (), 0, 2**31 - 1)
     seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
 
+    blk = pl.BlockSpec((rows, C_BLK), lambda i, s: (i, 0),
+                       memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(blocks,),
-        in_specs=[
-            pl.BlockSpec((ROWS, C_BLK), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, C_BLK), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, C_BLK), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, C_BLK), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, C_BLK), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((ROWS, C_BLK), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, C_BLK), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, C_BLK), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, C_BLK), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[blk] * 5,
+        out_specs=[blk] * 4,
     )
 
     px_o, py_o, e_o, acc_o = pl.pallas_call(
         functools.partial(_move_kernel, spec=spec, beta=beta,
-                          num_moves=num_moves),
+                          num_moves=num_moves, rows=rows),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((blocks * ROWS, C_BLK), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((blocks * rows, C_BLK), jnp.float32)
                    for _ in range(4)],
         # TPU-semantics interpreter (supports pltpu.prng_*) for CPU testing
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, px, py, e_in, md_in, zeros)
 
     def from_planes(plane):
-        arr = (plane.reshape(blocks, ROWS, C_BLK)
+        arr = (plane.reshape(blocks, rows, C_BLK)
                .transpose(0, 2, 1)
-               .reshape(c, ROWS))
-        return arr[:, :n]
+               .reshape(c_pad, rows))
+        return arr[:c, :n]
 
     new_pos = jnp.stack([from_planes(px_o), from_planes(py_o)], axis=-1)
-    new_e = e_o.reshape(blocks, ROWS, C_BLK)[:, 0, :].reshape(c)
-    accepts = acc_o.reshape(blocks, ROWS, C_BLK)[:, 0, :].reshape(c)
+    new_e = e_o.reshape(blocks, rows, C_BLK)[:, 0, :].reshape(c_pad)[:c]
+    accepts = acc_o.reshape(blocks, rows, C_BLK)[:, 0, :].reshape(c_pad)[:c]
 
     new_keys = jax.vmap(lambda k: jax.random.split(k, 2)[0])(state.key)
     return state._replace(
         positions=new_pos,
         energy=new_e,
+        virial=jnp.full_like(state.virial, jnp.nan),  # poisoned; see above
         attempts=state.attempts + num_moves,
         accepts=state.accepts + accepts.astype(state.accepts.dtype),
         key=new_keys,
     )
+
+
+def run_moves_auto(spec: SystemSpec, beta: float, state: ChainState,
+                   num_moves: int, seed=None) -> ChainState:
+    """Dispatch a move segment to the best engine for this workload.
+
+    Pallas kernel on TPU for N <= MAX_PARTICLES (the regime where the
+    whole per-move working set fits one VPU tile stack); the XLA scan
+    engine (``metropolis.run_moves``) otherwise and on non-TPU backends.
+    The XLA path tracks the virial exactly; after the Pallas path the
+    virial is NaN-poisoned until ``resync_energy``.
+    """
+    n = spec.num_particles
+    if n <= MAX_PARTICLES and jax.devices()[0].platform == "tpu":
+        return run_moves_pallas(spec, beta, state, num_moves, seed=seed)
+    from flowstate_tpu.mcmc.metropolis import run_moves
+    return jax.vmap(lambda s: run_moves(spec, beta, s, num_moves))(state)

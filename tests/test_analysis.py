@@ -152,6 +152,38 @@ def test_effective_sample_size():
     assert 2500 < ess_b < 5500
 
 
+def test_multichain_ess():
+    from flowstate_tpu.analysis.ess import multichain_ess
+    rng = np.random.default_rng(1)
+
+    # iid chains: ESS ~ total draw count
+    iid = rng.standard_normal((8, 1000))
+    ess = multichain_ess(iid)
+    assert 5000 < ess <= 8000, ess
+
+    # AR(1) rho=0.9 within each chain: tau ~ 19 -> ESS ~ total/19
+    x = np.zeros((8, 5000))
+    for i in range(1, x.shape[1]):
+        x[:, i] = 0.9 * x[:, i - 1] + rng.standard_normal(8)
+    ess_ar = multichain_ess(x)
+    assert 1000 < ess_ar < 4500, ess_ar
+
+    # pinned chains (zero within-chain variance, spread across chains):
+    # the between-chain mixing term must CRUSH the estimate — this is the
+    # VERDICT r1 failure mode of the per-chain Geyer sum, which skips
+    # constant chains entirely
+    pinned = np.tile(np.arange(8, dtype=float)[:, None] % 2, (1, 1000))
+    ess_pinned = multichain_ess(pinned)
+    assert ess_pinned < 20, ess_pinned
+
+    # all-identical draws -> zero information
+    assert multichain_ess(np.ones((4, 100))) == 0.0
+
+    # binary labels with genuine flips (teleporting sampler) beat pinned
+    flips = (rng.uniform(size=(8, 1000)) < 0.5).astype(float)
+    assert multichain_ess(flips) > 100 * max(ess_pinned, 1.0)
+
+
 def test_icl_styling():
     import matplotlib
     from flowstate_tpu.analysis import (

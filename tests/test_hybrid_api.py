@@ -123,17 +123,29 @@ def test_judge_flow_limits():
     assert not bool(jnp.any(bad))
 
 
-def test_bulk_judge_flow_matches_manual():
+def test_bulk_judge_flow_limits():
+    """Behavioral limits (not a re-derivation of the formula — ADVICE r1):
+    ΔE = 0 → all accepted; hard-core overlap → rejected; counts add up."""
     spec, box = _spec()
     c = 32
     configs = _valid_positions(jax.random.key(0), c, 3, float(box.size_x))
-    ref_energy = jnp.full((c,), -1.0)
-    key = jax.random.key(4)
-    n_acc, n_att = bulk_judge_flow(spec, 1.0, configs, ref_energy, key)
-    assert n_att == c
+    energies, _ = jax.vmap(lambda p: total_energy_virial(spec, p))(configs)
 
-    enn, _ = jax.vmap(lambda p: total_energy_virial(spec, p))(configs)
-    de = enn - ref_energy
-    u = jax.random.uniform(key, de.shape)
-    manual = int(jnp.sum((de <= 0.0) | (u < jnp.exp(-de))))
-    assert int(n_acc) == manual
+    # ΔE = 0 for every config → the Metropolis rule must accept all
+    n_acc, n_att = bulk_judge_flow(spec, 1.0, configs, energies,
+                                   jax.random.key(4))
+    assert n_att == c and int(n_acc) == c
+
+    # overlapping particles → inf energy → all rejected, regardless of key
+    overlap = configs.at[:, 1, :].set(configs[:, 0, :])
+    for seed in range(3):
+        n_acc, n_att = bulk_judge_flow(spec, 1.0, overlap, energies,
+                                       jax.random.key(seed))
+        assert n_att == c and int(n_acc) == 0
+
+    # mixed batch: overlap in the first half only → exactly the good half
+    # can be accepted (and with ΔE <= 0 it must be)
+    mixed = configs.at[: c // 2, 1, :].set(configs[: c // 2, 0, :])
+    n_acc, n_att = bulk_judge_flow(spec, 1.0, mixed, energies + 100.0,
+                                   jax.random.key(5))
+    assert n_att == c and int(n_acc) == c // 2

@@ -110,10 +110,13 @@ def test_ess_check_tool_smoke(tmp_path):
     ess_check = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ess_check)
     out = str(tmp_path / "ESS.md")
-    result = ess_check.main(["--chains", "4", "--rounds", "4",
+    result = ess_check.main(["--chains", "4", "--rounds", "24",
                              "--moves_per_round", "5", "--epochs", "1",
                              "--out", out])
     assert result["metric"] == "well_state_ess_per_s"
-    assert result["value"] >= 0.0
+    # the headline is None when the dF self-consistency gate fails (it
+    # will at this tiny budget); the raw ESS must still be recorded
+    assert result["value"] is None or result["value"] >= 0.0
+    assert result["hybrid_ess"] >= 0.0
     assert 0.0 <= result["hybrid_acceptance"] <= 1.0
     assert os.path.exists(out)

@@ -36,3 +36,80 @@ def test_interpret_bookkeeping_consistent():
     # particles 1,2 never moved (zero-bit RNG always picks particle 0)
     np.testing.assert_allclose(np.asarray(out.positions[:, 1:]),
                                np.asarray(state.positions[:, 1:]), atol=1e-6)
+
+
+def test_virial_is_poisoned_until_resync():
+    """The kernel does not track the virial; the returned field must be
+    NaN (visibly wrong, not silently stale) until resync_energy."""
+    spec = SystemSpec.create(3, Box.from_density(3, 0.03, 1.0), num_wells=2,
+                             V0_list=(-10.0, -10.5), r0=1.2, k=15.0)
+    pos, _ = init_alternating_wells(C_BLK, 3, 0.03)
+    state = init_chain_state(spec, jnp.asarray(pos), jax.random.key(0), 0.65)
+    out = run_moves_pallas(spec, 1.0, state, 10, seed=1, interpret=True)
+    assert np.all(np.isnan(np.asarray(out.virial)))
+    res = resync_energy(spec, out)
+    assert np.all(np.isfinite(np.asarray(res.virial)))
+
+
+def test_auto_padding_of_chain_axis():
+    """Chain counts that are not C_BLK multiples are padded and sliced
+    back; results for the real chains must be identical to a padded run."""
+    spec = SystemSpec.create(3, Box.from_density(3, 0.03, 1.0), num_wells=2,
+                             V0_list=(-10.0, -10.5), r0=1.2, k=15.0)
+    c = 100  # << C_BLK and not a multiple
+    pos, _ = init_alternating_wells(c, 3, 0.03)
+    state = init_chain_state(spec, jnp.asarray(pos), jax.random.key(0), 0.65)
+    out = run_moves_pallas(spec, 1.0, state, 50, seed=7, interpret=True)
+    assert out.positions.shape == (c, 3, 2)
+    assert out.energy.shape == (c,)
+    res = resync_energy(spec, out)
+    np.testing.assert_allclose(np.asarray(out.energy),
+                               np.asarray(res.energy), atol=1e-3)
+    assert np.all(np.asarray(out.attempts) - np.asarray(state.attempts)
+                  == 50)
+
+
+def test_multi_sublane_particle_tiles():
+    """N > 8 uses multi-row tiles; bookkeeping must stay exact (N=12 ->
+    rows=16)."""
+    n = 12
+    spec = SystemSpec.create(n, Box.from_density(n, 0.03, 1.0), num_wells=2,
+                             V0_list=(-10.0, -10.5), r0=1.2, k=15.0)
+    pos, _ = init_alternating_wells(64, n, 0.03)
+    state = init_chain_state(spec, jnp.asarray(pos), jax.random.key(0), 0.65)
+    out = run_moves_pallas(spec, 1.0, state, 30, seed=5, interpret=True)
+    assert out.positions.shape == (64, n, 2)
+    box = float(spec.box.size_x)
+    assert np.all(np.asarray(out.positions) >= 0)
+    assert np.all(np.asarray(out.positions) <= box)
+    res = resync_energy(spec, out)
+    np.testing.assert_allclose(np.asarray(out.energy),
+                               np.asarray(res.energy),
+                               rtol=1e-5, atol=1e-3)
+    # zero-bit interpreter RNG: only particle 0 ever moves
+    np.testing.assert_allclose(np.asarray(out.positions[:, 1:]),
+                               np.asarray(state.positions[:, 1:]), atol=1e-6)
+
+
+def test_too_many_particles_raises_and_auto_dispatches():
+    import pytest
+
+    from flowstate_tpu.mcmc.pallas_metropolis import (
+        MAX_PARTICLES, run_moves_auto,
+    )
+    n = MAX_PARTICLES + 1
+    spec = SystemSpec.create(n, Box.from_density(n, 0.03, 1.0), num_wells=0)
+    # simple square lattice (the well-grid initialisers cap at 12/well)
+    box = float(spec.box.size_x)
+    side = int(np.ceil(np.sqrt(n)))
+    xy = np.stack(np.meshgrid(np.arange(side), np.arange(side)),
+                  -1).reshape(-1, 2)[:n] * (box / side) + box / (2 * side)
+    pos = np.broadcast_to(xy, (4, n, 2)).copy()
+    state = init_chain_state(spec, jnp.asarray(pos, dtype=jnp.float32),
+                             jax.random.key(0), 0.65)
+    with pytest.raises(ValueError, match="up to"):
+        run_moves_pallas(spec, 1.0, state, 5, interpret=True)
+    # the dispatcher falls back to the XLA engine (CPU backend here)
+    out = run_moves_auto(spec, 1.0, state, 5)
+    assert out.positions.shape == (4, n, 2)
+    assert np.all(np.asarray(out.attempts) - np.asarray(state.attempts) == 5)

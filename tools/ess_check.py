@@ -11,11 +11,19 @@ per-chain well-state label for
   (b) the NF-hybrid sampler (local moves + flow teleports,
       main_algorithm_1.py's testing schedule :375-422),
 
-using identical chains, identical local-move budgets per recording round,
-and the SAME Geyer estimator (analysis/ess.py).  Plain MCMC essentially
-never crosses (PARITY.md: occupancies pinned at the init split), so its
-well-state ESS is ~0 and the hybrid's ESS/s IS the capability, reported
-alongside the ΔF sanity check vs the exact quadrature value 1.490.
+using identical chains and identical local-move budgets per recording
+round.  ESS estimator: rank-normalized split-chain multi-chain ESS
+(Vehtari et al. 2021; analysis/ess.py:multichain_ess), which mixes the
+between-chain variance into the autocorrelation so chains pinned in one
+well DEFLATE the estimate (the per-chain Geyer sum VERDICT.md round 1
+flagged could not see pinning). Plain MCMC essentially never crosses
+(PARITY.md: occupancies pinned at the init split), so its well-state ESS
+is ~0 and the hybrid's ESS/s IS the capability.
+
+Self-consistency gate: the tool refuses to print an ESS/s headline unless
+the measured ΔF agrees with the exact quadrature value 1.490 within 2
+standard errors (SEM across chains) — an ESS claim around a wrong mean is
+meaningless.
 
 Writes ESS.md and prints one JSON line.
 
@@ -36,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flowstate_tpu.analysis.ess import effective_sample_size
+from flowstate_tpu.analysis.ess import effective_sample_size, multichain_ess
 from flowstate_tpu.flows import build_circular_flow
 from flowstate_tpu.mcmc import (
     init_alternating_wells, init_chain_state, nf_big_moves,
@@ -80,7 +88,7 @@ def main(argv=None) -> dict:
     parser.add_argument("--chains", type=int, default=256)
     parser.add_argument("--rounds", type=int, default=400)
     parser.add_argument("--moves_per_round", type=int, default=150)
-    parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--epochs", type=int, default=40)
     parser.add_argument("--out", default="ESS.md")
     args = parser.parse_args(argv)
 
@@ -110,6 +118,10 @@ def main(argv=None) -> dict:
         s = jax.vmap(lambda t: run_moves(spec, beta, t, args.moves_per_round))(s)
         return s, well_state(spec, s.positions), s.positions
 
+    # warm-up: compile outside the timed region (ADVICE r1: over the TPU
+    # tunnel a cold compile takes 40-400 s and would dominate the timing)
+    jax.device_get(plain_round(state0)[1])
+
     state = state0
     obs_plain, configs = [], []
     t0 = time.perf_counter()
@@ -119,8 +131,7 @@ def main(argv=None) -> dict:
         configs.append(pos)
     obs_plain = jax.device_get(jnp.stack(obs_plain, axis=1))  # (C, T)
     dt_plain = time.perf_counter() - t0
-    moves_plain = args.rounds * args.moves_per_round * c
-    ess_plain = effective_sample_size(obs_plain)
+    ess_plain = multichain_ess(obs_plain)
     crossings = int(np.sum(np.abs(np.diff(obs_plain, axis=1)) > 0.5))
     print(f"plain: {dt_plain:.1f}s, {crossings} crossings, "
           f"ESS {ess_plain:.2f}", flush=True)
@@ -150,6 +161,9 @@ def main(argv=None) -> dict:
         return (res.state, well_state(spec, res.state.positions),
                 res.accepted, n_a, n_b)
 
+    # warm-up compile outside the timed region (ADVICE r1)
+    jax.device_get(hybrid_round(state0)[1])
+
     state = state0
     obs_h, acc, cnt_a, cnt_b = [], [], [], []
     t0 = time.perf_counter()
@@ -165,29 +179,58 @@ def main(argv=None) -> dict:
     # discard the first third as hybrid burn-in (teleports re-equilibrate
     # the 50/50 init toward the true well ratio)
     burn = args.rounds // 3
-    ess_h = effective_sample_size(obs_h[:, burn:])
+    burn_note = f"first {burn}/{args.rounds} rounds discarded"
+    ess_h = multichain_ess(obs_h[:, burn:])
+    ess_h_geyer = effective_sample_size(obs_h[:, burn:])
     # ΔF = ln(P_B/P_A) from per-particle occupancy counts — the reference's
     # estimator (calculate_well_statistics, hybrid utils.py:61-101), the
-    # quantity the exact quadrature value 1.490 refers to
-    tot_a = float(jnp.sum(jnp.stack(cnt_a[burn:])))
-    tot_b = float(jnp.sum(jnp.stack(cnt_b[burn:])))
+    # quantity the exact quadrature value 1.490 refers to.  Uncertainty:
+    # SEM of the per-chain ΔF estimates (chains are independent).
+    cnt_a_arr = np.asarray(jax.device_get(jnp.stack(cnt_a[burn:])))  # (T, C)
+    cnt_b_arr = np.asarray(jax.device_get(jnp.stack(cnt_b[burn:])))
+    tot_a = float(cnt_a_arr.sum())
+    tot_b = float(cnt_b_arr.sum())
     df = float(np.log(tot_b / max(tot_a, 1.0)))
+    chain_a = np.maximum(cnt_a_arr.sum(axis=0), 1.0)  # (C,)
+    chain_b = np.maximum(cnt_b_arr.sum(axis=0), 1.0)
+    chain_df = np.log(chain_b / chain_a)
+    df_sem = float(np.std(chain_df, ddof=1) / np.sqrt(len(chain_df)))
+    df_ok = abs(df - EXACT_DF) <= 2.0 * df_sem
     print(f"hybrid: {dt_h:.1f}s, acceptance {acceptance:.3f}, "
-          f"ESS {ess_h:.1f}, dF {df:.3f}", flush=True)
+          f"ESS {ess_h:.1f} (per-chain Geyer sum {ess_h_geyer:.1f}), "
+          f"dF {df:.3f} +- {df_sem:.3f} "
+          f"({'OK' if df_ok else 'FAILS 2-sigma gate'} vs {EXACT_DF})",
+          flush=True)
 
     ess_per_s_h = ess_h / dt_h
     ess_per_s_p = ess_plain / dt_plain
-    speedup = ess_per_s_h / ess_per_s_p if ess_per_s_p > 0 else float("inf")
+    plain_reliable = crossings >= 20
+    speedup = (round(ess_per_s_h / ess_per_s_p, 1)
+               if plain_reliable and ess_per_s_p > 0 else None)
     result = {
         "metric": "well_state_ess_per_s",
-        "value": round(ess_per_s_h, 3),
+        # the headline is gated on ΔF self-consistency: an effective-sample
+        # count around a mean that disagrees with the exact answer is
+        # meaningless (VERDICT r1, weak #1)
+        "value": round(ess_per_s_h, 3) if df_ok else None,
         "unit": "ESS/s",
+        "gated": None if df_ok else (
+            f"|dF - exact| = {abs(df - EXACT_DF):.3f} > 2*SEM "
+            f"= {2 * df_sem:.3f}; headline withheld"),
+        "estimator": "rank-normalized split-chain multichain ESS",
+        "hybrid_ess": round(ess_h, 1),
+        "hybrid_ess_geyer_sum": round(ess_h_geyer, 1),
         "plain_ess_per_s": round(ess_per_s_p, 6),
         "plain_crossings": crossings,
         "hybrid_acceptance": round(acceptance, 4),
         "hybrid_delta_f": round(df, 4),
+        "hybrid_delta_f_sem": round(df_sem, 4),
         "exact_delta_f": EXACT_DF,
+        # when plain MCMC records too few crossings its IAT (hence the
+        # ratio) is unmeasurable — report null rather than a number that
+        # divides by an unreliable estimate (ADVICE r1)
         "ess_speedup_vs_plain": speedup,
+        "burn_rounds": burn,
         "chains": c,
         "rounds": args.rounds,
         "device": jax.devices()[0].device_kind,
@@ -201,28 +244,58 @@ def main(argv=None) -> dict:
                 f"{c} chains, {args.rounds} rounds x "
                 f"{args.moves_per_round} local moves; the hybrid adds one "
                 "flow teleport per round\n(main_algorithm_1.py:375-422 "
-                "schedule). ESS: Geyer initial-positive-sequence\n"
-                "estimator (analysis/ess.py), hybrid burn-in = first "
-                "quarter discarded.\n\n")
+                "schedule). ESS: rank-normalized split-chain multi-chain\n"
+                "estimator (Vehtari et al. 2021; analysis/ess.py:"
+                f"multichain_ess); hybrid burn-in = {burn_note}.\n"
+                "Timed regions exclude compilation (one warm-up call per "
+                "jitted round function).\n\n")
         plain_note = (" (UNRELIABLE: too few crossings for the "
-                      "autocorrelation estimate)" if crossings < 20 else "")
+                      "autocorrelation estimate)" if not plain_reliable
+                      else "")
         f.write("| quantity | plain Metropolis | NF-hybrid |\n|---|---|---|\n")
         f.write(f"| wall time | {dt_plain:.1f} s | {dt_h:.1f} s |\n")
         f.write(f"| well-state ESS | {ess_plain:.2f}{plain_note} | "
-                f"{ess_h:.1f} |\n")
+                f"{ess_h:.1f} (per-chain Geyer sum: {ess_h_geyer:.1f}) |\n")
         f.write(f"| well-state ESS/s | {ess_per_s_p:.4f} | "
                 f"{ess_per_s_h:.2f} |\n")
         f.write(f"| well crossings observed | {crossings} | — (teleports, "
                 f"acceptance {acceptance:.3f}) |\n")
         f.write(f"| ΔF = ln(P_B/P_A), per-particle occupancy | "
                 f"{'n/a' if crossings == 0 else 'pinned at init split'} | "
-                f"{df:.3f} (exact {EXACT_DF}) |\n\n")
-        f.write(f"ESS/s speedup: **{speedup if speedup != float('inf') else '∞'}"
-                f"** — plain MCMC cannot measure this observable at all.\n\n")
+                f"{df:.3f} ± {df_sem:.3f} (exact {EXACT_DF}) |\n\n")
+        if not df_ok:
+            f.write(f"**HEADLINE WITHHELD**: measured ΔF differs from the "
+                    f"exact value by {abs(df - EXACT_DF):.3f} > 2·SEM = "
+                    f"{2 * df_sem:.3f}. The chain has not equilibrated at "
+                    "this budget; the ESS numbers above are recorded for "
+                    "diagnosis only and must not be quoted.\n\n")
+        elif speedup is not None:
+            f.write(f"ESS/s speedup vs plain: **{speedup:.1f}x**.\n\n")
+        elif ess_per_s_p > 0:
+            # pinned chains make the plain estimate an OVER-estimate (the
+            # between-chain spread of the frozen init looks like
+            # information), so the ratio is a defensible lower bound
+            f.write(f"ESS/s speedup vs plain: **>= "
+                    f"{ess_per_s_h / ess_per_s_p:.0f}x (lower bound)** — "
+                    "plain MCMC recorded too few crossings "
+                    f"({crossings} < 20) to estimate its own IAT, so the "
+                    "ratio is quoted only as a bound; the hybrid ESS/s "
+                    "above is the defensible headline.\n\n")
+        else:
+            f.write("ESS/s speedup vs plain: **unmeasurable** — plain MCMC "
+                    "produced zero well-state information at this budget; "
+                    "the hybrid ESS/s above is the headline.\n\n")
+        f.write(f"ΔF self-consistency gate: |ΔF − {EXACT_DF}| = "
+                f"{abs(df - EXACT_DF):.3f} vs 2·SEM = {2 * df_sem:.3f} → "
+                f"{'PASS' if df_ok else 'FAIL'}.\n\n")
         f.write(f"Flow: K=15 circular RQ-spline, trained {args.epochs} "
                 f"epochs on the plain phase's {int(data.shape[0])} configs "
                 f"({dt_train:.1f} s).\n")
-    print(json.dumps(result))
+
+    def _finite(v):
+        return (None if isinstance(v, float) and not np.isfinite(v) else v)
+
+    print(json.dumps({k: _finite(v) for k, v in result.items()}))
     return result
 
 
