@@ -128,6 +128,9 @@ def main() -> None:
         "chains": NUM_CHAINS,
         "acceptance": round(acc, 4),
         "ess_per_s": round(ess_per_s, 1),
+        # the above is ENERGY-series ESS (a fast observable); the slow
+        # well-state ESS capability number lives in ESS.md (ess_check.py)
+        "ess_observable": "energy",
         **hybrid,
         "device": str(jax.devices()[0]),
     }))

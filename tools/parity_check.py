@@ -7,12 +7,18 @@ V0=[-10,-10.5], r0=1.2, k=15 — main_algorithm_1.py:32-53), then compares:
 * single-particle well occupancies (fraction of particle-slots in A/B),
 * the well-state histogram (AllA/1A2B/2A1B/AllB/Outside),
 * the radial distribution function g(r),
+* the total-energy histogram (BASELINE.md quality metric; both sample
+  sets are scored with the SAME energy function, so any distributional
+  difference is a sampler difference, not a formula difference),
 * mean energy per particle.
 
 Pathwise parity is impossible (different RNGs); agreement is statistical
 within MC error (SURVEY.md §7).  Writes PARITY.md with the table.
 
-Usage: python tools/parity_check.py [--moves 300000] [--chains 64]
+Round-2 defaults: 4M total moves (10x round 1) pushing the RDF agreement
+gate to 0.05 mean relative difference.
+
+Usage: python tools/parity_check.py [--moves 4000000] [--chains 64]
 """
 
 from __future__ import annotations
@@ -28,8 +34,18 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_reference(total_moves: int, sampling_frequency: int, seed: int):
-    """Drive the reference MonteCarlo (serial CPU) and collect configs."""
+def run_reference(total_moves: int, sampling_frequency: int, seed: int,
+                  chains: int):
+    """Drive the reference MonteCarlo (serial CPU) and collect configs.
+
+    Chain structure MUST match the flowstate run (same chain count, same
+    moves per chain, same alternating init split): with mismatched
+    structure the two samplers sit at different equilibration stages of
+    the metastable well occupancy and every observable diverges for
+    physics reasons, not implementation ones (found at the round-2 10x
+    budget: 2 ref chains x 2M moves crossed the barrier a handful of
+    times while 64 x 62.5k stayed pinned).
+    """
     sys.path.insert(0, "/root/reference/MCMC")
     utils_stub = types.ModuleType("utils")
     utils_stub.get_project_root = lambda: "/root/reference"
@@ -40,19 +56,20 @@ def run_reference(total_moves: int, sampling_frequency: int, seed: int):
     from monte_carlo import MonteCarlo
 
     configs = []
-    n_chains_ref = 2  # one left-start, one right-start
-    for i in range(n_chains_ref):
+    for i in range(chains):
         init = initialise_low_left if i % 2 == 0 else initialise_low_right
         particles, sim_box = init(num_particles=3, rho=0.03, aspect_ratio=1.0)
         mc = MonteCarlo(particles=particles, sim_box=sim_box, temperature=1.0,
                         num_particles=3, num_wells=2, V0_list=[-10.0, -10.5],
                         r0=1.2, k=15, initial_max_displacement=0.65,
                         timing=False, checking=False, seed=seed + i)
-        for step in range(total_moves // n_chains_ref):
+        chain_configs = []
+        for step in range(total_moves // chains):
             mc.particle_displacement()
             if (step + 1) % sampling_frequency == 0:
-                configs.append(mc.particles.copy())
-    return np.asarray(configs)
+                chain_configs.append(mc.particles.copy())
+        configs.append(chain_configs)
+    return np.asarray(configs)  # (chains, T, N, 2)
 
 
 def run_ours(total_moves: int, sampling_frequency: int, chains: int,
@@ -94,27 +111,43 @@ def analyze(configs: np.ndarray, label: str):
             "frac_b": frac_b, "hist": hist, "r": r, "g": np.asarray(g)}
 
 
+def config_energies(configs: np.ndarray) -> np.ndarray:
+    """Total energy of each (N, 2) box-frame config, batched on device."""
+    import jax
+    import jax.numpy as jnp
+    from flowstate_tpu.ops import Box, SystemSpec, total_energy_virial
+
+    spec = SystemSpec.create(3, Box.from_density(3, 0.03, 1.0), num_wells=2,
+                             V0_list=(-10.0, -10.5), r0=1.2, k=15.0)
+    f = jax.jit(jax.vmap(lambda p: total_energy_virial(spec, p)[0]))
+    out = []
+    for i in range(0, len(configs), 8192):
+        out.append(np.asarray(f(jnp.asarray(configs[i:i + 8192]))))
+    return np.concatenate(out)
+
+
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--moves", type=int, default=400000)
+    parser.add_argument("--moves", type=int, default=4000000)
     parser.add_argument("--chains", type=int, default=64)
     parser.add_argument("--sampling_frequency", type=int, default=25)
     parser.add_argument("--equilibrate_discard", type=int, default=40)
     args = parser.parse_args()
 
     t0 = time.time()
-    ref_configs = run_reference(args.moves, args.sampling_frequency, seed=42)
+    ref_per_chain = run_reference(args.moves, args.sampling_frequency,
+                                  seed=42, chains=args.chains)
     t_ref = time.time() - t0
-    ref_configs = ref_configs[args.equilibrate_discard:]
+    # identical per-chain burn-in discard on both sides
+    discard = args.equilibrate_discard // 4
+    ref_configs = ref_per_chain[:, discard:].reshape(-1, 3, 2)
 
     t0 = time.time()
     our_configs = run_ours(args.moves, args.sampling_frequency, args.chains,
                            seed=7)
     t_ours = time.time() - t0
-    # discard early samples per chain (burn-in)
     per_chain = our_configs.reshape(args.chains, -1, 3, 2)
-    our_configs = per_chain[:, args.equilibrate_discard // 4:].reshape(
-        -1, 3, 2)
+    our_configs = per_chain[:, discard:].reshape(-1, 3, 2)
 
     ref = analyze(ref_configs, "reference (CPU serial)")
     ours = analyze(our_configs, "flowstate_tpu")
@@ -139,6 +172,31 @@ def main():
     sel = (ref["r"] > 0.5) & (ref["r"] < 4.0) & (ref["g"] > 1e-6)
     rel = np.abs(ours["g"][sel] - ref["g"][sel]) / (ref["g"][sel] + 1e-9)
     lines.append(f"| RDF mean rel. diff (0.5<r<4) | — | {rel.mean():.4f} |")
+
+    # energy histogram: same energy function scores both sample sets
+    e_ref = config_energies(ref_configs)
+    e_our = config_energies(our_configs)
+    lo = min(e_ref.min(), e_our.min())
+    hi = max(np.percentile(e_ref, 99.9), np.percentile(e_our, 99.9))
+    bins = np.linspace(lo, hi, 41)
+    p_ref, _ = np.histogram(e_ref, bins=bins, density=False)
+    p_our, _ = np.histogram(e_our, bins=bins, density=False)
+    p_ref = p_ref / max(p_ref.sum(), 1)
+    p_our = p_our / max(p_our.sum(), 1)
+    tv = 0.5 * float(np.abs(p_ref - p_our).sum())
+    # mean-energy distance in units of the between-chain SEM (chains are
+    # independent on both sides, so this needs no IAT fudge factor)
+    ce_ref = e_ref.reshape(args.chains, -1).mean(axis=1)
+    ce_our = e_our.reshape(args.chains, -1).mean(axis=1)
+    sem_e = np.sqrt(ce_ref.var(ddof=1) / args.chains
+                    + ce_our.var(ddof=1) / args.chains)
+    e_sigma = abs(float(e_ref.mean() - e_our.mean())) / max(sem_e, 1e-12)
+    lines.append(f"| energy E/N mean ± std | {e_ref.mean()/3:.4f} ± "
+                 f"{e_ref.std()/3:.4f} | {e_our.mean()/3:.4f} ± "
+                 f"{e_our.std()/3:.4f} |")
+    lines.append(f"| energy mean distance | — | {e_sigma:.2f} sigma |")
+    lines.append(f"| energy histogram TV distance (40 bins) | — "
+                 f"| {tv:.4f} |")
     lines.append(f"| wall time | {t_ref:.1f}s (serial CPU) "
                  f"| {t_ours:.1f}s ({args.chains} chains) |")
     lines.append("")
@@ -150,10 +208,12 @@ def main():
                       + ours["frac_a"] * (1 - ours["frac_a"]) / n_eff_our)
     ok_a = abs(ref["frac_a"] - ours["frac_a"]) < max(err, 0.05)
     ok_b = abs(ref["frac_b"] - ours["frac_b"]) < max(err, 0.05)
-    ok_rdf = rel.mean() < 0.15
-    verdict = "PASS" if (ok_a and ok_b and ok_rdf) else "CHECK"
+    ok_rdf = rel.mean() < 0.05
+    ok_e = e_sigma < 4.0 and tv < 0.08
+    verdict = "PASS" if (ok_a and ok_b and ok_rdf and ok_e) else "CHECK"
     lines.append(f"**Verdict: {verdict}** (occupancy tolerance "
-                 f"{max(err, 0.05):.3f}; RDF tolerance 0.15 mean rel.)\n")
+                 f"{max(err, 0.05):.3f}; RDF tolerance 0.05 mean rel.; "
+                 "energy gates: mean < 4 sigma, histogram TV < 0.08)\n")
 
     report = "\n".join(lines)
     with open("PARITY.md", "w") as f:
