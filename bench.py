@@ -98,13 +98,17 @@ def main() -> None:
 
     # ESS/s: timed production run with observable sampling (energy series)
     from flowstate_tpu.analysis import effective_sample_size
-    from flowstate_tpu.mcmc import run_production_batch
+    from flowstate_tpu.mcmc import run_production_batch, run_production_pallas
 
     # 256 samples/chain gives a stable Geyer IAT estimate (64-point series
     # produced a ~5x run-to-run spread in the reported ESS/s)
+    produce_fn = (run_production_pallas
+                  if jax.devices()[0].platform == "tpu"
+                  else run_production_batch)
+
     @jax.jit
     def produce(s):
-        return run_production_batch(spec, beta, s, 256, 25)
+        return produce_fn(spec, beta, s, 256, 25)
 
     state2, obs = produce(state)
     _ = jax.device_get(state2.energy)

@@ -34,7 +34,9 @@ from flowstate_tpu.mcmc.observables import (
     check_equilibration,
     ensemble_acceptance,
 )
-from flowstate_tpu.mcmc.pallas_metropolis import run_moves_auto, run_moves_pallas
+from flowstate_tpu.mcmc.pallas_metropolis import (
+    run_moves_auto, run_moves_pallas, run_production_pallas,
+)
 from flowstate_tpu.mcmc.state import ChainState, init_chain_state, resync_energy
 from flowstate_tpu.mcmc.tempering import (
     ReplicaExchangeResult,
@@ -55,6 +57,7 @@ __all__ = [
     "nf_big_moves", "apply_big_moves", "judge_flow", "bulk_judge_flow",
     "run_moves_pallas",
     "run_moves_auto",
+    "run_production_pallas",
     "BigMoveResult", "to_centered", "to_box_frame",
     "initialise_fcc", "initialise_low_left", "initialise_low_right",
     "initialise_fcc_left_half", "initialise_fcc_right_half",

@@ -264,6 +264,39 @@ def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
     )
 
 
+def run_production_pallas(spec: SystemSpec, beta: float, state: ChainState,
+                          num_samples: int, sampling_frequency: int,
+                          start_cycle: int = 0):
+    """Production with observable sampling, move segments on the Pallas
+    kernel: scan over ``num_samples`` blocks of ``sampling_frequency``
+    moves, resyncing energy/virial (the kernel poisons the virial) before
+    each observable record.  Drop-in for ``run_production_batch`` —
+    observables leaves come back shaped (C, num_samples, ...).
+
+    The per-block resync is one O(N^2) batched recompute per
+    ``sampling_frequency`` moves — noise at N=3 and amortized by the
+    pair kernel at large N — and doubles as drift control: the recorded
+    energies are exact, not fp32-accumulated.
+    """
+    from flowstate_tpu.mcmc.metropolis import sample_observables
+    from flowstate_tpu.mcmc.state import resync_energy
+
+    def block(carry, i):
+        s = run_moves_pallas(spec, beta, carry, sampling_frequency)
+        s = resync_energy(spec, s)
+        obs = sample_observables(
+            spec, beta, s, start_cycle + (i + 1) * sampling_frequency)
+        return s, obs
+
+    state, obs = jax.lax.scan(block, state, jnp.arange(num_samples))
+    # scan stacks on axis 0 (time); match run_production_batch's (C, T, ...)
+    c = state.positions.shape[0]
+    obs = jax.tree_util.tree_map(
+        lambda x: (jnp.moveaxis(x, 0, 1) if x.ndim > 1
+                   else jnp.broadcast_to(x[None], (c, x.shape[0]))), obs)
+    return state, obs
+
+
 def run_moves_auto(spec: SystemSpec, beta: float, state: ChainState,
                    num_moves: int, seed=None) -> ChainState:
     """Dispatch a move segment to the best engine for this workload.

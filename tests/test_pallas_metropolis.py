@@ -113,3 +113,38 @@ def test_too_many_particles_raises_and_auto_dispatches():
     out = run_moves_auto(spec, 1.0, state, 5)
     assert out.positions.shape == (4, n, 2)
     assert np.all(np.asarray(out.attempts) - np.asarray(state.attempts) == 5)
+
+
+def test_production_pallas_shapes_and_observables():
+    """run_production_pallas matches run_production_batch's observable
+    layout and records exact (resynced) energies/virials."""
+    from flowstate_tpu.mcmc import run_production_pallas
+
+    spec = SystemSpec.create(3, Box.from_density(3, 0.03, 1.0), num_wells=2,
+                             V0_list=(-10.0, -10.5), r0=1.2, k=15.0)
+    c, t = 64, 5
+    pos, _ = init_alternating_wells(c, 3, 0.03)
+    state = init_chain_state(spec, jnp.asarray(pos), jax.random.key(0), 0.65)
+    import functools
+
+    import flowstate_tpu.mcmc.pallas_metropolis as pm
+    orig = pm.run_moves_pallas
+    pm.run_moves_pallas = functools.partial(orig, interpret=True)
+    try:
+        out, obs = run_production_pallas(spec, 1.0, state, t, 10)
+    finally:
+        pm.run_moves_pallas = orig
+    assert obs.positions.shape == (c, t, 3, 2)
+    assert obs.energy_per_particle.shape == (c, t)
+    assert obs.cycle.shape == (c, t)
+    np.testing.assert_array_equal(np.asarray(obs.cycle[0]),
+                                  np.arange(1, t + 1) * 10)
+    # virial resynced every block -> recorded pressure is finite
+    assert np.all(np.isfinite(np.asarray(obs.pressure)))
+    assert np.all(np.isfinite(np.asarray(out.virial)))
+    # recorded energy is the exact recompute of the recorded positions
+    from flowstate_tpu.ops import total_energy_virial
+    e_last, _ = jax.vmap(lambda p: total_energy_virial(spec, p))(
+        obs.positions[:, -1])
+    np.testing.assert_allclose(np.asarray(obs.energy_per_particle[:, -1]),
+                               np.asarray(e_last) / 3, rtol=1e-6)

@@ -149,6 +149,13 @@ def main():
     per_chain = our_configs.reshape(args.chains, -1, 3, 2)
     our_configs = per_chain[:, discard:].reshape(-1, 3, 2)
 
+    # persist the raw samples so metrics can be re-derived without
+    # re-running the ~20-min serial reference side
+    os.makedirs("logs", exist_ok=True)
+    np.savez_compressed("logs/parity_configs.npz",
+                        ref=ref_configs.astype(np.float32),
+                        ours=our_configs.astype(np.float32))
+
     ref = analyze(ref_configs, "reference (CPU serial)")
     ours = analyze(our_configs, "flowstate_tpu")
 
@@ -168,10 +175,23 @@ def main():
     for k in ref["hist"]:
         lines.append(f"| state {k} | {ref['hist'][k]:.4f} "
                      f"| {ours['hist'][k]:.4f} |")
-    # RDF L2 relative difference over informative range
-    sel = (ref["r"] > 0.5) & (ref["r"] < 4.0) & (ref["g"] > 1e-6)
-    rel = np.abs(ours["g"][sel] - ref["g"][sel]) / (ref["g"][sel] + 1e-9)
-    lines.append(f"| RDF mean rel. diff (0.5<r<4) | — | {rel.mean():.4f} |")
+    # RDF agreement. Two metrics:
+    #  * mean relative difference over STRUCTURED bins (g_ref > 0.1): the
+    #    old g > 1e-6 floor let depleted-zone bins (g ~ 1e-5, a handful of
+    #    counts) dominate with O(1) relative noise once the 10x budget
+    #    populated them at all;
+    #  * total-variation distance between the normalized pair-distance
+    #    histograms (g * r weighting), which covers ALL bins on the
+    #    probability scale where near-empty bins carry near-zero weight.
+    sel = (ref["r"] > 0.5) & (ref["r"] < 4.0) & (ref["g"] > 0.1)
+    rel = np.abs(ours["g"][sel] - ref["g"][sel]) / ref["g"][sel]
+    w_ref = ref["g"] * ref["r"]
+    w_our = ours["g"] * ours["r"]
+    rdf_tv = 0.5 * float(np.abs(w_ref / w_ref.sum()
+                                - w_our / w_our.sum()).sum())
+    lines.append(f"| RDF mean rel. diff (0.5<r<4, g>0.1) | — "
+                 f"| {rel.mean():.4f} |")
+    lines.append(f"| RDF pair-distance TV distance | — | {rdf_tv:.4f} |")
 
     # energy histogram: same energy function scores both sample sets
     e_ref = config_energies(ref_configs)
@@ -208,12 +228,13 @@ def main():
                       + ours["frac_a"] * (1 - ours["frac_a"]) / n_eff_our)
     ok_a = abs(ref["frac_a"] - ours["frac_a"]) < max(err, 0.05)
     ok_b = abs(ref["frac_b"] - ours["frac_b"]) < max(err, 0.05)
-    ok_rdf = rel.mean() < 0.05
+    ok_rdf = rel.mean() < 0.05 and rdf_tv < 0.02
     ok_e = e_sigma < 4.0 and tv < 0.08
     verdict = "PASS" if (ok_a and ok_b and ok_rdf and ok_e) else "CHECK"
     lines.append(f"**Verdict: {verdict}** (occupancy tolerance "
-                 f"{max(err, 0.05):.3f}; RDF tolerance 0.05 mean rel.; "
-                 "energy gates: mean < 4 sigma, histogram TV < 0.08)\n")
+                 f"{max(err, 0.05):.3f}; RDF gates: 0.05 mean rel on "
+                 "structured bins, 0.02 TV; energy gates: mean < 4 sigma, "
+                 "histogram TV < 0.08)\n")
 
     report = "\n".join(lines)
     with open("PARITY.md", "w") as f:
