@@ -51,7 +51,8 @@ from flowstate_tpu.utils.checkpoint import save_checkpoint
 from flowstate_tpu.utils.config import ExperimentConfig, algorithm2_config
 
 
-def run(config: ExperimentConfig, resume: bool = False) -> Dict:
+def run(config: ExperimentConfig, resume: bool = False,
+        fused: bool = False) -> Dict:
     directory, logger, metrics = setup_experiment(config)
     spec = build_system(config)
     plot_wells(config, spec, directory)
@@ -138,7 +139,57 @@ def run(config: ExperimentConfig, resume: bool = False) -> Dict:
     new_samples_per_chain = max(
         1, config.update_num_samples // config.num_chains)
 
-    for cycle in range(start_cycle, config.num_training_cycles):
+    if fused:
+        # entire cycle chunks run on device (training/cycles.py); the host
+        # syncs once per checkpoint period for metrics/plots/checkpoints
+        from flowstate_tpu.training.cycles import make_fused_cycles
+
+        chunk = config.checkpoint_interval * 2
+        runner = make_fused_cycles(model, spec, config, chunk)
+        cycle = start_cycle
+        while cycle < config.num_training_cycles:
+            n = min(chunk, config.num_training_cycles - cycle)
+            r = runner if n == chunk else make_fused_cycles(
+                model, spec, config, n)
+            params, state, move_key, out = r(params, state, move_key)
+            losses = np.asarray(out["loss"])           # (n, epochs)
+            accepts = np.asarray(out["accepts"])       # (n,)
+            pos = np.asarray(out["positions"])         # (n, C, T, N, 2)
+            for j in range(n):
+                loss_per_cycle.extend(losses[j].tolist())
+                big_move_attempts += c
+                big_move_accepts += int(accepts[j])
+                p_acc_history.append(big_move_accepts / big_move_attempts)
+                training_samples_history.append(
+                    len(train_set) if cycle + j == 0 else
+                    config.update_num_samples)
+            for i in range(c):
+                production_configs[i].append(
+                    pos[:, i].reshape(-1, config.num_particles, 2))
+            cycle += n
+            plot_loss(loss_per_cycle, directory, base_filename="loss_plot")
+            metrics.log("cycle", cycle=cycle,
+                        loss=float(losses[-1][-1]),
+                        train_set=config.update_num_samples,
+                        p_acc=p_acc_history[-1])
+            save_checkpoint(
+                os.path.join(directory, "checkpoints"), cycle,
+                {"flow": params, "chains": state._asdict()},
+                metadata={"cycle": cycle,
+                          "train_set_size": config.update_num_samples})
+            eval_n = min(config.num_samples_for_analysis, 50000)
+            ev = np.asarray(model.sample(
+                params, jax.random.fold_in(move_key, 17), eval_n)).reshape(
+                    -1, config.num_particles, 2)
+            plot_frequency_heatmap(ev, directory, config.half_box,
+                                   base_filename=f"heatmap_cycle_{cycle}")
+            r_vals, g_r = calculate_pair_correlation(
+                ev[:5000], config.num_particles, config.half_box)
+            plot_pair_correlation(r_vals, g_r, directory,
+                                  base_filename=f"rdf_cycle_{cycle}")
+
+    unfused_cycles = 0 if fused else config.num_training_cycles
+    for cycle in range(start_cycle, unfused_cycles):
         # 1) production -- ref :399-418
         state, obs = run_production_batch(spec, config.beta, state,
                                           new_samples_per_chain,
@@ -235,10 +286,14 @@ def main() -> None:
     parser.add_argument("--output_dir", type=str, default="results")
     parser.add_argument("--resume", action="store_true",
                         help="continue from the latest checkpoint")
+    parser.add_argument("--fused", action="store_true",
+                        help="run cycle chunks fully on device "
+                             "(training/cycles.py) — requires the "
+                             "non-cumulative alpha=1 full-scale regime")
     args, _ = parser.parse_known_args()
     config = algorithm2_config(experiment_id=args.experiment_id,
                                output_dir=args.output_dir)
-    run(config, resume=args.resume)
+    run(config, resume=args.resume, fused=args.fused)
 
 
 if __name__ == "__main__":

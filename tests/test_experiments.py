@@ -76,6 +76,46 @@ def test_algorithm2_smoke(tmp_path):
     assert os.path.exists(os.path.join(d, "checkpoints", "step_00000004"))
 
 
+def test_algorithm2_fused_smoke(tmp_path):
+    """The fused on-device cycle path (training/cycles.py) produces the
+    same artifact set and sane statistics as the per-cycle host loop."""
+    from flowstate_tpu.experiments import algorithm2
+    config = algorithm2_config(
+        experiment_id="smoke_a2_fused", output_dir=str(tmp_path),
+        num_chains=4, equilibration_steps=200, adjusting_frequency=100,
+        sampling_frequency=5, initial_training_num_samples=16,
+        update_num_samples=16, batch_size=8, epochs=1, K=2,
+        hidden_units=16, num_bins=4, num_training_cycles=5,
+        checkpoint_interval=2, num_samples_for_analysis=64,
+        num_samples_for_free_energy=8)
+    results = algorithm2.run(config, fused=True)
+    d = results["directory"]
+    assert 0.0 <= results["big_move_acceptance"] <= 1.0
+    assert "delta_f_mean" in results
+    import numpy as np
+    assert np.isfinite(results["delta_f_mean"])
+    # chunked checkpoints: chunk = 2*interval = 4, remainder chunk -> 5
+    assert os.path.exists(os.path.join(d, "checkpoints", "step_00000004"))
+    assert os.path.exists(os.path.join(d, "checkpoints", "step_00000005"))
+    assert os.path.exists(os.path.join(d, "p_acc_vs_training_samples.png"))
+
+
+def test_fused_cycles_requires_static_regime():
+    import pytest
+
+    from flowstate_tpu.flows import build_circular_flow
+    from flowstate_tpu.ops import Box, SystemSpec
+    from flowstate_tpu.training.cycles import make_fused_cycles
+    spec = SystemSpec.create(3, Box.from_density(3, 0.03, 1.0))
+    model = build_circular_flow(3, 2, 5.0, K=2, hidden_units=8, num_bins=4)
+    cfg = algorithm2_config(cumulative_training_samples=True)
+    with pytest.raises(ValueError, match="non-cumulative"):
+        make_fused_cycles(model, spec, cfg, 2)
+    cfg = algorithm2_config(alpha=0.5)
+    with pytest.raises(ValueError, match="alpha"):
+        make_fused_cycles(model, spec, cfg, 2)
+
+
 def test_algorithm2_resume(tmp_path):
     """Checkpoint-resume continues the cycle loop from the stored state."""
     from flowstate_tpu.experiments import algorithm2
