@@ -257,6 +257,13 @@ def run(config: ExperimentConfig, resume: bool = False,
     results: Dict = {"directory": directory,
                      "big_move_acceptance": p_acc_history[-1]}
     if config.num_training_cycles > 0:
+        # persist the raw production trajectories: (C, total_T, N, 2) —
+        # the state-sector analysis (well SECTOR occupancies vs the exact
+        # quadrature, tools/sector_check.py) re-reads them
+        all_traj = np.stack([np.concatenate(production_configs[i], axis=0)
+                             for i in range(c)])
+        np.save(os.path.join(directory, "production_positions.npy"),
+                all_traj.astype(np.float32))
         free_energy_array = []
         for i in range(c):
             traj = np.concatenate(production_configs[i], axis=0)

@@ -200,3 +200,35 @@ def test_icl_styling():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_exact_sector_probs_and_sector_labels():
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    try:
+        from exact_free_energy import exact_delta_f, exact_sector_probs
+        from sector_check import sector_labels
+    finally:
+        sys.path.pop(0)
+
+    p = exact_sector_probs(samples=200_000, seed=1)
+    total = sum(p[s] for s in ["AAA", "AAB", "ABB", "BBB"])
+    assert abs(total - 1.0) < 1e-9
+    # the round-2 physics finding: split sectors dominate (~79%)
+    assert 0.70 < p["AAB"] + p["ABB"] < 0.88, p
+    # pure-sector ratio must reproduce the known exact dF
+    assert abs(p["dF_pure"] - 1.49) < 0.06, p["dF_pure"]
+    # multiplicity-3 mixed sectors, B-heavy ordering
+    assert p["ABB"] > p["AAB"] > p["BBB"] > p["AAA"]
+
+    # sector_labels on synthetic configs (box frame, half_box = 5)
+    a = [2.5, 5.0]
+    b = [7.5, 5.0]
+    far = [0.0, 0.0]
+    configs = np.array([
+        [[a, a, a], [b, b, b], [a, a, b], [a, b, b], [a, b, far]],
+    ], dtype=float)  # (C=1, T=5, N=3, 2)
+    lab = sector_labels(configs, 5.0)
+    np.testing.assert_array_equal(lab[0], [0, 3, 1, 2, 4])

@@ -54,10 +54,16 @@ def _lj(r: np.ndarray) -> np.ndarray:
 
 
 def log_partition(region: str, m: int, rng: np.random.Generator) -> float:
-    """logmeanexp(-beta U) over disk^3 uniform samples (+const, cancels)."""
-    c = CENTERS[region]
+    """logmeanexp(-beta U) over disk^3 uniform samples (+const, cancels).
+
+    ``region`` is either a single well name ("A"/"B": all three particles
+    in that well) or a 3-letter assignment pattern like "AAB" (sector
+    quadrature — used by ``exact_sector_probs``).
+    """
+    assign = region * 3 if region in CENTERS else region
     pts = []
-    for _ in range(3):
+    for a in assign:
+        c = CENTERS[a]
         u = rng.random(m)
         th = rng.random(m) * 2 * np.pi
         rr = RADIUS * np.sqrt(u)
@@ -81,9 +87,40 @@ def exact_delta_f(samples: int = 4_000_000, seed: int = 0) -> float:
     return log_partition("B", samples, rng) - log_partition("A", samples, rng)
 
 
+def exact_sector_probs(samples: int = 2_000_000, seed: int = 0) -> dict:
+    """Exact equilibrium probabilities of the four in-well SECTORS
+    (AllA / 2A1B / 1A2B / AllB) by per-sector quadrature.
+
+    Mixed sectors carry multiplicity 3 (choice of the singleton); the
+    disk^3 volumes cancel.  Round-2 finding: at this system's parameters
+    the split sectors hold ~79% of the equilibrium weight — plain MCMC
+    and the A1 flow (trained on pure-sector data) never visit them, yet
+    their PURE-sector ratio ln(Z_BBB/Z_AAA) = 1.490 is still unbiased;
+    Algorithm 2's on-the-fly flow is the only sampler here that actually
+    explores the full state space (RESULTS.md).
+    """
+    rng = np.random.default_rng(seed)
+    lz = {}
+    for pat, mult in [("AAA", 1), ("AAB", 3), ("ABB", 3), ("BBB", 1)]:
+        lz[pat] = log_partition(pat, samples, rng) + np.log(mult)
+    mx = max(lz.values())
+    z = {k: np.exp(v - mx) for k, v in lz.items()}
+    tot = sum(z.values())
+    probs = {k: v / tot for k, v in z.items()}
+    probs["dF_pure"] = lz["BBB"] - lz["AAA"]
+    return probs
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--samples", type=int, default=4_000_000)
+    parser.add_argument("--sectors", action="store_true",
+                        help="also print the exact 4-sector probabilities")
     args = parser.parse_args()
     df = exact_delta_f(args.samples)
     print(f"EXACT dF = ln(Z_B/Z_A) = {df:.4f}")
+    if args.sectors:
+        p = exact_sector_probs(args.samples // 2)
+        print("EXACT sector probabilities: "
+              + ", ".join(f"{k}={p[k]:.4f}"
+                          for k in ["AAA", "AAB", "ABB", "BBB"]))
