@@ -77,9 +77,18 @@ def log_partition(region: str, m: int, rng: np.random.Generator) -> float:
             d -= L * np.round(d / L)
             U += _lj(np.hypot(d[:, 0], d[:, 1]))
     w = -BETA * U
-    w = w[np.isfinite(w)]
-    m0 = w.max()
-    return float(m0 + np.log(np.mean(np.exp(w - m0))))
+    # hard-core overlaps contribute ZERO weight but must stay in the
+    # denominator of the uniform average: dropping them (round-1 version)
+    # shrinks the sample count and inflates crowded sectors, where close
+    # pairs are more likely (3 pairs in a pure sector vs 1 in a split
+    # sector -> ~20% vs ~7% overlap rate at this disk radius).  The
+    # pure-sector RATIO ln(Z_B/Z_A) was unaffected (both have 3 pairs);
+    # the SECTOR weights were off by ~20% until parallel tempering —
+    # a flow-free, adaptation-free sampler — disagreed and exposed it.
+    finite = np.isfinite(w)
+    m0 = w[finite].max()
+    vals = np.where(finite, np.exp(np.where(finite, w, m0) - m0), 0.0)
+    return float(m0 + np.log(np.mean(vals)))
 
 
 def exact_delta_f(samples: int = 4_000_000, seed: int = 0) -> float:

@@ -104,6 +104,13 @@ def main(argv=None) -> dict:
                            np.array_split(all_b, 4))]
     sem = float(np.std(dfs) / np.sqrt(len(dfs)))
 
+    # full SECTOR fractions (PT is the flow-free, adaptation-free arbiter
+    # for the sector weights — cf. tools/sector_check.py / SECTORS.md)
+    n_b_per = (labels == 1).sum(axis=-1)
+    any_out = (labels == 2).any(axis=-1)
+    sector = np.where(any_out, 4, n_b_per)
+    sec_frac = [float((sector == k).mean()) for k in range(5)]
+
     # MBAR over ALL replicas (analysis/mbar.py): pools the whole ladder
     from flowstate_tpu.analysis.mbar import pt_well_delta_f
 
@@ -128,6 +135,11 @@ def main(argv=None) -> dict:
         "walkers": args.walkers,
         "rounds": args.rounds,
         "cold_frames_used": int(len(frames)),
+        "sector_fracs": {"AAA": round(sec_frac[0], 4),
+                         "AAB": round(sec_frac[1], 4),
+                         "ABB": round(sec_frac[2], 4),
+                         "BBB": round(sec_frac[3], 4),
+                         "outside": round(sec_frac[4], 4)},
     }
 
     with open(args.out, "w") as f:
@@ -148,9 +160,14 @@ def main(argv=None) -> dict:
             f"| ΔF (MBAR over all {args.replicas} replicas) | "
             f"{df_mbar:.4f} |\n"
             f"| ΔF exact (quadrature) | {EXACT_DF} |\n"
-            f"| ΔF (NF hybrid, RESULTS.md) | 1.4726 ± 0.057 |\n\n"
+            f"| ΔF (NF hybrid, RESULTS.md) | 1.4726 ± 0.057 |\n"
+            f"| sector fractions AAA/AAB/ABB/BBB | {sec_frac[0]:.4f} / "
+            f"{sec_frac[1]:.4f} / {sec_frac[2]:.4f} / {sec_frac[3]:.4f} "
+            "(exact: 0.0378 / 0.3011 / 0.4939 / 0.1672) |\n\n"
             "Agreement across quadrature, flow-guided sampling, and "
-            "tempering validates\nboth rare-event mechanisms end to end.\n")
+            "tempering validates\nboth rare-event mechanisms end to end.  "
+            "PT's sector fractions are the\nflow-free arbiter for the "
+            "full-state-space story in SECTORS.md.\n")
     print(json.dumps(summary))
     return summary
 
