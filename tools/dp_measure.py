@@ -68,13 +68,23 @@ def main(argv=None) -> dict:
     batch = jax.random.uniform(jax.random.key(2), (args.batch, 6),
                                minval=-half_box, maxval=half_box)
 
-    st, loss = step(st, batch)
-    jax.device_get(loss)                      # compile + warmup
+    # time a SCANNED block of steps (one device program), not per-step
+    # host dispatches — over the remote tunnel a single dispatch costs
+    # ~40 ms, which would inflate the "compute" side ~7x
+    @jax.jit
+    def run_block(st):
+        batches = jnp.broadcast_to(batch, (args.steps, *batch.shape))
+        return jax.lax.scan(step, st, batches)
+
+    for _ in range(2):                        # compile + tunnel warmup
+        st, losses = run_block(st)
+        jax.device_get(losses)
+    reps = 3
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        st, loss = step(st, batch)
-    jax.device_get(loss)
-    dt_step = (time.perf_counter() - t0) / args.steps
+    for _ in range(reps):
+        st, losses = run_block(st)
+    jax.device_get(losses)
+    dt_step = (time.perf_counter() - t0) / (args.steps * reps)
 
     rows = []
     for n in (2, 4, 8, 16, 64, 256):
@@ -100,24 +110,33 @@ def main(argv=None) -> dict:
              f"full-scale flow has **{n_params:,} params = "
              f"{grad_bytes/1e6:.1f} MB** of fp32 grads (measured, not the "
              "28 MB round-1 estimate); one training step at batch "
-             f"{args.batch} takes **{dt_step*1e3:.2f} ms** (measured, "
-             f"median-free mean over {args.steps} warm steps).",
+             f"{args.batch} takes **{dt_step*1e3:.2f} ms** (measured as a "
+             f"scanned {args.steps}-step device block — per-step host "
+             "dispatches over the tunnel cost ~40 ms each and would "
+             "inflate the compute side ~7x).",
              "",
-             "With a ring all-reduce moving 2(N-1)/N x grad bytes over "
-             f"v5e ICI at an assumed {ICI_BYTES_PER_S/1e9:.0f} GB/s "
-             "effective per-direction bandwidth (the only modeled term — "
-             "a single chip cannot measure ICI):",
+             "WEAK scaling (per-chip batch held at "
+             f"{args.batch}; global batch grows with the slice), ring "
+             "all-reduce moving 2(N-1)/N x grad bytes over v5e ICI at an "
+             f"assumed {ICI_BYTES_PER_S/1e9:.0f} GB/s effective "
+             "per-direction bandwidth (the only modeled term — a single "
+             "chip cannot measure ICI):",
              "",
-             "| chips | psum time (ms) | DP efficiency |",
+             "| chips | psum time (ms) | DP efficiency (weak) |",
              "|---|---|---|"]
     for n, ms, eff in rows:
         lines.append(f"| {n} | {ms:.3f} | {eff:.2%} |")
     lines += ["",
-              "The >= 85% BASELINE.md target holds with a wide margin at "
-              "every slice size because the grad buffer is small and the "
-              "measured compute step is long relative to it; per-batch "
-              "host round trips are already zero (the whole epoch is one "
-              "`lax.scan`).", ""]
+              "The >= 85% BASELINE.md target holds at every slice size "
+              "for weak scaling.  STRONG scaling of the reference's fixed "
+              f"batch {args.batch} is a different story stated honestly: "
+              f"per-chip compute shrinks to {dt_step*1e3:.2f}/N ms while "
+              "the psum cost saturates near "
+              f"{rows[-1][1]:.2f} ms, so splitting the A1 batch beyond "
+              "~4 chips is not worthwhile — the right scale-out axes for "
+              "this workload are CHAINS (zero-collective) and independent "
+              "sweeps, exactly as ARCHITECTURE.md §4 lays out; DP exists "
+              "for when bigger flows/batches need it.", ""]
     section_text = "\n".join(lines)
 
     path = os.path.join(os.path.dirname(os.path.dirname(
