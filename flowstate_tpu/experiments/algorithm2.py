@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +52,7 @@ from flowstate_tpu.utils.config import ExperimentConfig, algorithm2_config
 
 
 def run(config: ExperimentConfig, resume: bool = False,
-        fused: bool = False) -> Dict:
+        fused: bool = False, freeze_after: Optional[int] = None) -> Dict:
     directory, logger, metrics = setup_experiment(config)
     spec = build_system(config)
     plot_wells(config, spec, directory)
@@ -145,18 +145,29 @@ def run(config: ExperimentConfig, resume: bool = False,
         from flowstate_tpu.training.cycles import make_fused_cycles
 
         chunk = config.checkpoint_interval * 2
-        runner = make_fused_cycles(model, spec, config, chunk)
+        runners: Dict = {}
+
+        def get_runner(n: int, do_train: bool):
+            if (n, do_train) not in runners:
+                runners[(n, do_train)] = make_fused_cycles(
+                    model, spec, config, n, train=do_train)
+            return runners[(n, do_train)]
+
         cycle = start_cycle
         while cycle < config.num_training_cycles:
             n = min(chunk, config.num_training_cycles - cycle)
-            r = runner if n == chunk else make_fused_cycles(
-                model, spec, config, n)
+            # finite-adaptation: chunks never straddle the freeze boundary
+            do_train = freeze_after is None or cycle < freeze_after
+            if do_train and freeze_after is not None:
+                n = min(n, freeze_after - cycle)
+            r = get_runner(n, do_train)
             params, state, move_key, out = r(params, state, move_key)
             losses = np.asarray(out["loss"])           # (n, epochs)
             accepts = np.asarray(out["accepts"])       # (n,)
             pos = np.asarray(out["positions"])         # (n, C, T, N, 2)
             for j in range(n):
-                loss_per_cycle.extend(losses[j].tolist())
+                if do_train:
+                    loss_per_cycle.extend(losses[j].tolist())
                 big_move_attempts += c
                 big_move_accepts += int(accepts[j])
                 p_acc_history.append(big_move_accepts / big_move_attempts)
@@ -169,7 +180,8 @@ def run(config: ExperimentConfig, resume: bool = False,
             cycle += n
             plot_loss(loss_per_cycle, directory, base_filename="loss_plot")
             metrics.log("cycle", cycle=cycle,
-                        loss=float(losses[-1][-1]),
+                        loss=float(losses[-1][-1]) if do_train else None,
+                        frozen=not do_train,
                         train_set=config.update_num_samples,
                         p_acc=p_acc_history[-1])
             save_checkpoint(
@@ -200,15 +212,20 @@ def run(config: ExperimentConfig, resume: bool = False,
         new_nf = (new_mc.reshape(-1, config.num_particles, 2)
                   - config.half_box).reshape(-1, config.dim).astype(np.float32)
 
-        # 2) train-set policy -- ref :421-432
-        train_set = sliding_window_update(
-            train_set, new_nf, cumulative=config.cumulative_training_samples)
+        if freeze_after is None or cycle < freeze_after:
+            # 2) train-set policy -- ref :421-432
+            train_set = sliding_window_update(
+                train_set, new_nf,
+                cumulative=config.cumulative_training_samples)
 
-        # 3) fresh optimizer + retrain -- ref :437-456
-        params, _, _, loss_epoch = train(
-            model, params, jnp.asarray(train_set), train_cfg,
-            jax.random.fold_in(jax.random.key(config.master_seed + 4), cycle))
-        loss_per_cycle.extend(loss_epoch)
+            # 3) fresh optimizer + retrain -- ref :437-456
+            params, _, _, loss_epoch = train(
+                model, params, jnp.asarray(train_set), train_cfg,
+                jax.random.fold_in(
+                    jax.random.key(config.master_seed + 4), cycle))
+            loss_per_cycle.extend(loss_epoch)
+        else:  # finite-adaptation: flow frozen, chain kernel now fixed
+            loss_epoch = []
 
         # 4) periodic checkpoint / eval -- ref :459-526
         if (cycle + 1) % config.checkpoint_interval == 0:
@@ -297,10 +314,16 @@ def main() -> None:
                         help="run cycle chunks fully on device "
                              "(training/cycles.py) — requires the "
                              "non-cumulative alpha=1 full-scale regime")
+    parser.add_argument("--freeze_after", type=int, default=None,
+                        help="finite adaptation: stop retraining the flow "
+                             "after this many cycles; the remaining cycles "
+                             "sample with a FIXED kernel (detailed balance "
+                             "holds exactly, no adaptation bias)")
     args, _ = parser.parse_known_args()
     config = algorithm2_config(experiment_id=args.experiment_id,
                                output_dir=args.output_dir)
-    run(config, resume=args.resume, fused=args.fused)
+    run(config, resume=args.resume, fused=args.fused,
+        freeze_after=args.freeze_after)
 
 
 if __name__ == "__main__":

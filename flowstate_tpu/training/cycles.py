@@ -38,7 +38,8 @@ from flowstate_tpu.training.train import (
 )
 
 
-def make_fused_cycles(model, spec, config, n_cycles: int):
+def make_fused_cycles(model, spec, config, n_cycles: int,
+                      train: bool = True):
     """Build a jitted runner for ``n_cycles`` Algorithm-2 cycles.
 
     Requires the A2 full-scale regime: non-cumulative window and
@@ -46,6 +47,15 @@ def make_fused_cycles(model, spec, config, n_cycles: int):
     ``run(params, state, key) -> (params, state, key, out)`` with
     ``out = {"loss": (n_cycles, epochs), "accepts": (n_cycles,),
     "positions": (n_cycles, C, T, N, 2)}``.
+
+    ``train=False`` builds FROZEN cycles — production + big moves with the
+    flow params held fixed (losses come back as NaN).  This is the
+    finite-adaptation mode: the reference's Algorithm 2 retrains forever
+    (``main_algorithm_2.py:393-577``), which leaves a small stationary
+    bias in absolute sector occupancies (SECTORS.md); freezing after a
+    warm-up makes the remaining chain a fixed-kernel Markov chain whose
+    big move satisfies detailed balance exactly, so post-freeze samples
+    are asymptotically unbiased.
     """
     if config.cumulative_training_samples:
         raise ValueError("fused cycles need the non-cumulative window "
@@ -71,21 +81,25 @@ def make_fused_cycles(model, spec, config, n_cycles: int):
         state, obs = run_production_batch(spec, beta, state,
                                           samples_per_chain,
                                           config.sampling_frequency)
-        window = to_centered(
-            obs.positions.reshape(-1, spec.num_particles, 2), half_box)
 
-        # 2+3) fresh optimizer + retrain on the new window -- ref :421-456
-        key, k_shuffle, k_train = jax.random.split(key, 3)
-        ts = TrainState(params, optimizer.init(params), k_train)
+        if train:
+            window = to_centered(
+                obs.positions.reshape(-1, spec.num_particles, 2), half_box)
 
-        def run_epoch(ts, k):
-            batches = epoch_batches(k, window, train_cfg.batch_size)
-            ts, losses = jax.lax.scan(step, ts, batches)
-            return ts, jnp.mean(losses)
+            # 2+3) fresh optimizer + retrain on the window -- ref :421-456
+            key, k_shuffle, k_train = jax.random.split(key, 3)
+            ts = TrainState(params, optimizer.init(params), k_train)
 
-        ts, epoch_losses = jax.lax.scan(
-            run_epoch, ts, jax.random.split(k_shuffle, train_cfg.epochs))
-        params = ts.params
+            def run_epoch(ts, k):
+                batches = epoch_batches(k, window, train_cfg.batch_size)
+                ts, losses = jax.lax.scan(step, ts, batches)
+                return ts, jnp.mean(losses)
+
+            ts, epoch_losses = jax.lax.scan(
+                run_epoch, ts, jax.random.split(k_shuffle, train_cfg.epochs))
+            params = ts.params
+        else:  # frozen: params fixed, no retrain
+            epoch_losses = jnp.full((train_cfg.epochs,), jnp.nan)
 
         # 4) one flow big move per chain -- ref :534-548
         res = nf_big_moves(spec, beta, state, model, params, half_box)

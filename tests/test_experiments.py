@@ -100,6 +100,51 @@ def test_algorithm2_fused_smoke(tmp_path):
     assert os.path.exists(os.path.join(d, "p_acc_vs_training_samples.png"))
 
 
+def test_algorithm2_freeze_after(tmp_path):
+    """Finite-adaptation mode: flow params must stop changing after the
+    freeze cycle (fused path), while big moves keep being attempted."""
+    import jax
+    import jax.numpy as jnp
+
+    from flowstate_tpu.experiments.algorithm2 import run as run_a2
+    from flowstate_tpu.flows import build_circular_flow
+    from flowstate_tpu.mcmc import init_alternating_wells, init_chain_state
+    from flowstate_tpu.ops import Box, SystemSpec
+    from flowstate_tpu.training.cycles import make_fused_cycles
+    from flowstate_tpu.utils.config import algorithm2_config
+
+    # unit level: a frozen fused chunk returns params unchanged (bitwise)
+    spec = SystemSpec.create(3, Box.from_density(3, 0.03, 1.0),
+                             num_wells=2, V0_list=(-10.0, -10.5),
+                             r0=1.2, k=15.0)
+    model = build_circular_flow(3, 2, 5.0, K=2, hidden_units=8, num_bins=4)
+    params = model.init_params(jax.random.key(0))
+    cfg = algorithm2_config(num_chains=4, update_num_samples=16,
+                            batch_size=8, epochs=1, sampling_frequency=5)
+    pos, _ = init_alternating_wells(4, 3, 0.03)
+    state = init_chain_state(spec, jnp.asarray(pos), jax.random.key(1), 0.5)
+    frozen = make_fused_cycles(model, spec, cfg, 2, train=False)
+    p2, state2, _, out = frozen(params, state, jax.random.key(2))
+    assert all(bool(jnp.all(a == b)) for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)))
+    assert bool(jnp.all(jnp.isnan(out["loss"])))
+    # production still advanced the chains
+    assert not bool(jnp.all(state.positions == state2.positions))
+
+    # driver level: --freeze_after runs end to end (fused)
+    config = algorithm2_config(
+        experiment_id="smoke_a2_freeze", output_dir=str(tmp_path),
+        num_chains=4, equilibration_steps=200, adjusting_frequency=100,
+        sampling_frequency=5, initial_training_num_samples=16,
+        update_num_samples=16, batch_size=8, epochs=1, K=2,
+        hidden_units=16, num_bins=4, num_training_cycles=6,
+        checkpoint_interval=2, num_samples_for_analysis=64,
+        num_samples_for_free_energy=8)
+    results = run_a2(config, fused=True, freeze_after=2)
+    assert 0.0 <= results["big_move_acceptance"] <= 1.0
+    assert np.isfinite(results["delta_f_mean"])
+
+
 def test_fused_cycles_requires_static_regime():
     import pytest
 
