@@ -41,7 +41,10 @@ REFERENCE_CPU_MOVES_PER_S = 4312.0
 
 NUM_CHAINS = 16384
 MOVES_PER_CALL = 1000
-TIMED_CALLS = 5
+# >= ~0.5 s of timed device work per engine: shorter segments are
+# dominated by the ~40 ms tunnel round-trip latency and understate
+# throughput up to ~2x (measured while building tools/n_scaling.py)
+TIMED_CALLS = 30
 
 
 def main() -> None:

@@ -13,15 +13,21 @@ Metropolis rule); only the PRNG stream differs (counter-based on-chip
 generator vs threefry tables), so agreement with the reference engine is
 statistical — asserted by the Boltzmann quadrature test.
 
-Layout: positions as two (rows, C_BLK) planes (x and y), particle index in
-sublanes (rows = N padded to a multiple of 8; rows >= N masked), C_BLK =
-512 chains per grid program; the chain axis auto-pads to a C_BLK multiple.
+Layout: positions as two (rows, c_blk) planes (x and y), particle index in
+sublanes (rows = N padded to a multiple of 8; rows >= N masked); c_blk
+chains per grid program (512 lanes for small N, shrinking with N so the
+per-program working set stays inside the ~16 MB VMEM — ``_pick_c_blk``);
+the chain axis auto-pads to a c_blk multiple.
 
-Measured on v5e (16,384 chains): 922 Mmoves/s vs 806 Mmoves/s for the
-XLA scan engine — both sit at the VPU throughput roof for this per-move
-op mix (2 pair-energy evals + wells + PRNG per move), confirming the
-scan engine is already near speed-of-light; this kernel is kept as the
-native path and the scaling vehicle for bigger particle counts.
+Measured on v5e: 1.07 Gmoves/s at N=3 (vs 0.80 G for the XLA scan engine —
+both near the VPU roof for the tiny-N op mix), and at larger particle
+counts the gap opens because the XLA path's scan overhead and one-hot
+selects stop amortizing: N=128 67 Mmoves/s vs 14 M (4.9x), N=1024
+6.7 M vs 4.4 M (tools/n_scaling.py -> results/n_scaling.json).  Dense
+O(N) per-move energies remain the right algorithm on this hardware up to
+MAX_PARTICLES: at rho*r_c^2 ~ 0.2-2 a neighbor list would average <10
+entries, but its per-move dynamic gathers serialize on the VPU while the
+dense row sweep runs 8x128 lanes wide.
 """
 
 from __future__ import annotations
@@ -37,13 +43,28 @@ from jax.experimental.pallas import tpu as pltpu
 from flowstate_tpu.mcmc.state import ChainState
 from flowstate_tpu.ops.pair_energy import SystemSpec
 
-C_BLK = 512        # chains per grid program (lanes; multiple of 128)
+C_BLK = 512        # chains per grid program (lanes; multiple of 128) for
+                   # small particle counts; shrinks as the particle axis
+                   # grows so the per-program working set stays in VMEM
 ROWS = 8           # fp32 sublane count: the particle axis is padded to a
                    # multiple of this (N <= 8 -> one sublane tile; larger N
                    # uses multi-sublane tiles up to MAX_PARTICLES)
-MAX_PARTICLES = 32  # beyond this the XLA scan engine wins (dispatch in
-                    # run_moves_auto); 32 rows x 512 lanes keeps every
-                    # per-move temporary comfortably in VMEM
+MAX_PARTICLES = 1024  # dense per-move energy stays on the VPU up to here;
+                      # the (rows, c_blk) tile budget below keeps the
+                      # working set under the ~16 MB/core VMEM
+
+
+def _pick_c_blk(rows: int) -> int:
+    """Chains per grid program for a given particle-row count.
+
+    The kernel keeps ~12 live (rows, c_blk) fp32 arrays (state planes,
+    displaced copies, pair temporaries); cap that at ~6 MB of the ~16 MB
+    VMEM.  Lanes must stay a multiple of 128.
+    """
+    budget = 6 * 1024 * 1024 // (12 * 4 * rows)   # lanes
+    return max(128, min(C_BLK, (budget // 128) * 128))
+
+
 HARD_CORE_E = 1e30  # finite stand-in for +inf inside the kernel
 
 
@@ -60,13 +81,16 @@ def _uniform_from_bits(bits):
 def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
                  px_out, py_out, e_out, acc_out, *,
                  spec: SystemSpec, beta: float, num_moves: int,
-                 rows: int = ROWS):
+                 rows: int = ROWS, c_blk: int = C_BLK):
     """One chain block: ``num_moves`` sequential Metropolis updates."""
     ROWS = rows  # particle-axis tile height (multiple of 8)
+    C_BLK = c_blk  # chains per program (lanes)
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     n = spec.num_particles
     lx, ly = spec.box.size_x, spec.box.size_y
+    inv_lx, inv_ly = 1.0 / lx, 1.0 / ly   # PBC via multiply (VPU divides
+                                          # are multi-cycle; L is static)
     r_cut2 = spec.cutoff * spec.cutoff
     hc2 = spec.hard_core * spec.hard_core
     sr6_cut = (spec.sigma**2 / r_cut2) ** 3
@@ -85,8 +109,8 @@ def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
             cx, cy = centers[w]
             dx = x - cx
             dy = y - cy
-            dx = dx - lx * jnp.round(dx / lx)
-            dy = dy - ly * jnp.round(dy / ly)
+            dx = dx - lx * jnp.round(dx * inv_lx)
+            dy = dy - ly * jnp.round(dy * inv_ly)
             r = jnp.sqrt(dx * dx + dy * dy)
             t = 0.5 * (1.0 + jnp.tanh(spec.k * (r - spec.r0)))
             v = v + spec.V0_list[w] * (1.0 - t)
@@ -101,8 +125,8 @@ def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
         """
         dx = x0 - px
         dy = y0 - py
-        dx = dx - lx * jnp.round(dx / lx)
-        dy = dy - ly * jnp.round(dy / ly)
+        dx = dx - lx * jnp.round(dx * inv_lx)
+        dy = dy - ly * jnp.round(dy * inv_ly)
         r2 = dx * dx + dy * dy
         others = valid_row & jnp.logical_not(p_sel)
         r2_safe = jnp.maximum(r2, 1e-12)
@@ -133,8 +157,8 @@ def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
         md = md_ref[0:1, :]
         x1 = x0 + (u1 - 0.5) * md
         y1 = y0 + (u2 - 0.5) * md
-        x1 = x1 - lx * jnp.floor(x1 / lx)   # wrap into [0, L)
-        y1 = y1 - ly * jnp.floor(y1 / ly)
+        x1 = x1 - lx * jnp.floor(x1 * inv_lx)   # wrap into [0, L)
+        y1 = y1 - ly * jnp.floor(y1 * inv_ly)
 
         e_new = particle_energy(px, py, x1, y1, p_sel)
 
@@ -184,10 +208,11 @@ def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
             f"pallas move kernel supports up to {MAX_PARTICLES} particles "
             f"(got {n}); use run_moves_auto for automatic dispatch")
     rows = ((n + ROWS - 1) // ROWS) * ROWS
+    c_blk = _pick_c_blk(rows)
 
-    # pad the chain axis to a C_BLK multiple (edge-replicated padding:
+    # pad the chain axis to a c_blk multiple (edge-replicated padding:
     # padded chains run real physics on copies and are discarded)
-    c_pad = ((c + C_BLK - 1) // C_BLK) * C_BLK
+    c_pad = ((c + c_blk - 1) // c_blk) * c_blk
     pad = c_pad - c
     positions = jnp.concatenate(
         [state.positions, jnp.broadcast_to(state.positions[-1:],
@@ -199,24 +224,24 @@ def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
     max_disp = jnp.concatenate(
         [state.max_disp, jnp.broadcast_to(state.max_disp[-1:], (pad,))]) \
         if pad else state.max_disp
-    blocks = c_pad // C_BLK
+    blocks = c_pad // c_blk
 
     # (C_pad, N, 2) -> (blocks, rows, C_BLK) planes
     def to_planes(coord):
         arr = positions[..., coord]  # (C_pad, N)
         arr = jnp.pad(arr, ((0, 0), (0, rows - n)))
-        return (arr.reshape(blocks, C_BLK, rows)
+        return (arr.reshape(blocks, c_blk, rows)
                 .transpose(0, 2, 1)
-                .reshape(blocks * rows, C_BLK))
+                .reshape(blocks * rows, c_blk))
 
     px = to_planes(0)
     py = to_planes(1)
     e_in = jnp.broadcast_to(
-        energy.reshape(blocks, 1, C_BLK),
-        (blocks, rows, C_BLK)).reshape(blocks * rows, C_BLK)
+        energy.reshape(blocks, 1, c_blk),
+        (blocks, rows, c_blk)).reshape(blocks * rows, c_blk)
     md_in = jnp.broadcast_to(
-        max_disp.reshape(blocks, 1, C_BLK),
-        (blocks, rows, C_BLK)).reshape(blocks * rows, C_BLK)
+        max_disp.reshape(blocks, 1, c_blk),
+        (blocks, rows, c_blk)).reshape(blocks * rows, c_blk)
     zeros = jnp.zeros_like(e_in)
     if seed is None:
         # derive from chain 0's PRNG stream so successive calls get fresh
@@ -224,7 +249,7 @@ def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
         seed = jax.random.randint(state.key[0], (), 0, 2**31 - 1)
     seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
 
-    blk = pl.BlockSpec((rows, C_BLK), lambda i, s: (i, 0),
+    blk = pl.BlockSpec((rows, c_blk), lambda i, s: (i, 0),
                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -235,23 +260,23 @@ def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
 
     px_o, py_o, e_o, acc_o = pl.pallas_call(
         functools.partial(_move_kernel, spec=spec, beta=beta,
-                          num_moves=num_moves, rows=rows),
+                          num_moves=num_moves, rows=rows, c_blk=c_blk),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((blocks * rows, C_BLK), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((blocks * rows, c_blk), jnp.float32)
                    for _ in range(4)],
         # TPU-semantics interpreter (supports pltpu.prng_*) for CPU testing
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, px, py, e_in, md_in, zeros)
 
     def from_planes(plane):
-        arr = (plane.reshape(blocks, rows, C_BLK)
+        arr = (plane.reshape(blocks, rows, c_blk)
                .transpose(0, 2, 1)
                .reshape(c_pad, rows))
         return arr[:c, :n]
 
     new_pos = jnp.stack([from_planes(px_o), from_planes(py_o)], axis=-1)
-    new_e = e_o.reshape(blocks, rows, C_BLK)[:, 0, :].reshape(c_pad)[:c]
-    accepts = acc_o.reshape(blocks, rows, C_BLK)[:, 0, :].reshape(c_pad)[:c]
+    new_e = e_o.reshape(blocks, rows, c_blk)[:, 0, :].reshape(c_pad)[:c]
+    accepts = acc_o.reshape(blocks, rows, c_blk)[:, 0, :].reshape(c_pad)[:c]
 
     new_keys = jax.vmap(lambda k: jax.random.split(k, 2)[0])(state.key)
     return state._replace(

@@ -91,6 +91,34 @@ def test_multi_sublane_particle_tiles():
                                np.asarray(state.positions[:, 1:]), atol=1e-6)
 
 
+def test_large_n_shrinks_chain_block():
+    """Large N picks a smaller lanes block (VMEM budget) and keeps the
+    bookkeeping exact; N=72 -> rows=72, and a chain count below the small-N
+    block still pads and round-trips correctly."""
+    from flowstate_tpu.mcmc.initialise import initialise_fcc
+    from flowstate_tpu.mcmc.pallas_metropolis import _pick_c_blk
+
+    assert _pick_c_blk(8) == 512
+    assert _pick_c_blk(256) == 512
+    assert _pick_c_blk(512) == 256
+    assert _pick_c_blk(1024) == 128
+
+    n = 72
+    pos, box = initialise_fcc(n, 0.3, 1.0)
+    spec = SystemSpec.create(n, box, num_wells=0)
+    state = init_chain_state(
+        spec, jnp.broadcast_to(jnp.asarray(pos), (3, n, 2)),
+        jax.random.key(0), 0.3)
+    out = run_moves_pallas(spec, 1.0, state, 16, seed=7, interpret=True)
+    assert out.positions.shape == (3, n, 2)
+    res = resync_energy(spec, out)
+    np.testing.assert_allclose(np.asarray(out.energy),
+                               np.asarray(res.energy),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.positions[:, 1:]),
+                               np.asarray(state.positions[:, 1:]), atol=1e-6)
+
+
 def test_too_many_particles_raises_and_auto_dispatches():
     import pytest
 

@@ -1,0 +1,116 @@
+"""Particle-count scaling: XLA scan engine vs Pallas move kernel on TPU.
+
+Measures Metropolis move throughput as N grows (the reference is fixed at
+N=3; ``MCMC/energy_calculator.py:48-108`` is O(N) per move and the build's
+scaling axes are chains and particle count, SURVEY.md §5).  Both engines
+compute the same dense O(N) per-move energies; the Pallas kernel keeps the
+whole move loop in VMEM, so it exposes how far the XLA path sits from the
+VPU roof once N stops being tiny.
+
+Writes results/n_scaling.json and prints a markdown table for RESULTS.md.
+
+Run on the real chip: ``python tools/n_scaling.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from flowstate_tpu.utils.profiling import enable_compilation_cache
+
+try:
+    enable_compilation_cache()
+except Exception:
+    pass
+
+from flowstate_tpu.mcmc.initialise import initialise_fcc
+from flowstate_tpu.mcmc.metropolis import run_moves_batch
+from flowstate_tpu.mcmc.pallas_metropolis import (
+    MAX_PARTICLES, _pick_c_blk, run_moves_pallas,
+)
+from flowstate_tpu.mcmc.state import init_chain_state, resync_energy
+from flowstate_tpu.ops.pair_energy import SystemSpec
+
+
+def _sync(x):
+    jax.device_get(x)   # tunnel-safe completion barrier (CLAUDE.md)
+
+
+def time_engine(fn, state, repeats: int) -> float:
+    out = fn(state)
+    _sync(out.positions)          # warm-up + compile, untimed
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn(out)
+    _sync(out.positions)
+    return (time.perf_counter() - t0) / repeats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ns", type=int, nargs="+",
+                    default=[8, 32, 128, 512, 1024])
+    ap.add_argument("--rho", type=float, default=0.3)
+    ap.add_argument("--moves", type=int, default=8192)
+    ap.add_argument("--repeats", type=int, default=4)
+    ap.add_argument("--out", default="results/n_scaling.json")
+    args = ap.parse_args()
+
+    rows = []
+    for n in args.ns:
+        assert n <= MAX_PARTICLES
+        pos, box = initialise_fcc(n, args.rho, 1.0)
+        spec = SystemSpec.create(n, box, num_wells=0)
+        n_rows = ((n + 7) // 8) * 8
+        chains = max(_pick_c_blk(n_rows), (49152 // n + 127) // 128 * 128)
+        positions = jnp.broadcast_to(jnp.asarray(pos), (chains, n, 2))
+        state = init_chain_state(spec, positions, jax.random.key(0))
+        # brief equilibration off the lattice (uses the XLA engine)
+        state = run_moves_batch(spec, 1.0, state, 512)
+        state = resync_energy(spec, state)
+        _sync(state.positions)
+
+        # keep each timed call >= ~100 ms so the ~40 ms tunnel round-trip
+        # latency doesn't dominate (small-N calls are fast)
+        moves = args.moves * max(1, 256 // n)
+        t_xla = time_engine(
+            jax.jit(lambda s: run_moves_batch(spec, 1.0, s, moves)),
+            state, args.repeats)
+        # jit the whole pallas step: called eagerly, its padding/reshapes/
+        # resync dispatch as ~30 separate tunnel round-trips (~40 ms each)
+        t_pal = time_engine(
+            jax.jit(lambda s: resync_energy(spec, run_moves_pallas(
+                spec, 1.0, s, moves))),
+            state, args.repeats)
+        total = chains * moves
+        row = {
+            "n": n, "chains": chains, "c_blk": _pick_c_blk(n_rows),
+            "xla_moves_per_s": total / t_xla,
+            "pallas_moves_per_s": total / t_pal,
+            "speedup": t_xla / t_pal,
+        }
+        rows.append(row)
+        print(json.dumps(row))
+
+    with open(args.out, "w") as f:
+        json.dump({"device": str(jax.devices()[0]), "rows": rows}, f,
+                  indent=1)
+
+    print("\n| N | chains | XLA moves/s | Pallas moves/s | speedup |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['n']} | {r['chains']} | {r['xla_moves_per_s']:.3g} "
+              f"| {r['pallas_moves_per_s']:.3g} | {r['speedup']:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,8 @@ records them as an artifact:
      Boltzmann distribution — must agree within cross-run error),
   4. the auto-padded chain path (C not a multiple of 512) on hardware,
   5. the multi-sublane path (N = 12 > 8) drift check on hardware,
-  6. throughput of both engines at the bench shape.
+  6. the large-N dense path (N = 128, pure LJ) drift + acceptance,
+  7. throughput of both engines at the bench shape.
 
 Usage: python tools/pallas_check.py [--chains 16384] [--moves 4096]
 """
@@ -147,6 +148,26 @@ def main(argv=None) -> dict:
     acc12 = (float(jnp.sum(out12.accepts - st12.accepts))
              / float(jnp.sum(out12.attempts - st12.attempts)))
 
+    # --- 6) large-N dense path (N=128, pure LJ) on hardware ----------------
+    from flowstate_tpu.mcmc.initialise import initialise_fcc
+    nbig = 128
+    pos_big, box_big = initialise_fcc(nbig, 0.3, 1.0)
+    spec_big = SystemSpec.create(nbig, box_big, num_wells=0)
+    st_big = init_chain_state(
+        spec_big, jnp.broadcast_to(jnp.asarray(pos_big), (512, nbig, 2)),
+        jax.random.key(3), 0.3)
+    st_big = jax.jit(jax.vmap(
+        lambda s: run_moves(spec_big, beta, s, 512)))(st_big)
+    st_big = resync_energy(spec_big, st_big)
+    out_big = jax.jit(lambda t: run_moves_pallas(spec_big, beta, t, 1024))(
+        st_big)
+    rs_big = resync_energy(spec_big, out_big)
+    # drift scales with N (the tracked total is a sum of ~N*moves fp32
+    # deltas); gate on the per-particle drift
+    drift_big = float(jnp.max(jnp.abs(out_big.energy - rs_big.energy))) / nbig
+    acc_big = (float(jnp.sum(out_big.accepts - st_big.accepts))
+               / float(jnp.sum(out_big.attempts - st_big.attempts)))
+
     result = {
         "metric": "pallas_kernel_checks",
         "chains": c,
@@ -162,12 +183,15 @@ def main(argv=None) -> dict:
         "autopad_ok": pad_ok,
         "n12_drift_max": drift12,
         "n12_acceptance": round(acc12, 4),
+        "n128_drift_per_particle": drift_big,
+        "n128_acceptance": round(acc_big, 4),
         "pallas_moves_per_s": round(pallas_moves_per_s, 1),
         "xla_moves_per_s": round(xla_moves_per_s, 1),
         "device": jax.devices()[0].device_kind,
         "ok": bool(abs(acc_pallas - acc_xla) < 0.02
                    and drift_max < 1e-2 and e_sigma < 4.0
-                   and virial_poisoned and pad_ok and drift12 < 1e-2),
+                   and virial_poisoned and pad_ok and drift12 < 1e-2
+                   and drift_big < 1e-2 and 0.05 < acc_big < 0.95),
     }
 
     with open(args.out, "w") as f:
@@ -204,6 +228,9 @@ def main(argv=None) -> dict:
         f.write(f"| multi-sublane N=12 drift / acceptance | {drift12:.2e} "
                 f"/ {acc12:.3f} | n/a | "
                 f"{'PASS' if drift12 < 1e-2 else 'FAIL'} |\n")
+        f.write(f"| large-N dense (N=128, pure LJ) drift/particle / "
+                f"acceptance | {drift_big:.2e} / {acc_big:.3f} | n/a | "
+                f"{'PASS' if drift_big < 1e-2 and 0.05 < acc_big < 0.95 else 'FAIL'} |\n")
         f.write(f"| throughput (moves/s) | {pallas_moves_per_s:,.0f} | "
                 f"{xla_moves_per_s:,.0f} | — |\n\n")
         f.write(f"Overall: **{'PASS' if result['ok'] else 'FAIL'}**.\n")
