@@ -86,6 +86,53 @@ def make_testing_step(config: ExperimentConfig, spec, model):
     return testing_round
 
 
+def make_fused_testing(config: ExperimentConfig, spec, model):
+    """Phase D as ONE device program: a ``lax.scan`` over all testing
+    rounds, each = {BIG_MOVE_INTERVAL local moves, flow proposal + MH big
+    move}, emitting (accepted, positions) per round.
+
+    The host-driven loop above pays ~4 tunnel round-trips per round
+    (proposal draw, round dispatch, accepted fetch, positions fetch) —
+    ~40 ms each, dominating the reference-scale run (1000 rounds).  Fused,
+    the full-scale testing phase is one dispatch; same schedule as
+    main_algorithm_1.py:375-422, same estimators downstream.
+    """
+    c = config.num_chains
+
+    @jax.jit
+    def run_testing(state, params, key):
+        def round_fn(carry, _):
+            s, k = carry
+            k, k_prop, k_u = jax.random.split(k, 3)
+            s = jax.vmap(
+                lambda t: run_moves(spec, config.beta, t,
+                                    config.big_move_interval))(s)
+            prop_flat, log_q_new = model.sample_and_log_prob(
+                params, k_prop, c)
+            proposals = to_box_frame(prop_flat, config.num_particles,
+                                     config.half_box)
+            u = jax.random.uniform(k_u, (c,))
+            result = apply_big_moves(spec, config.beta, s, proposals,
+                                     log_q_new, model, params,
+                                     config.half_box, u)
+            return (result.state, k), (result.accepted,
+                                       result.state.positions)
+
+        (state, _), (accepted, positions) = jax.lax.scan(
+            round_fn, (state, key), None, length=config.big_move_attempts)
+        return state, accepted, positions
+
+    return run_testing
+
+
+def _use_fused_testing(config: ExperimentConfig) -> bool:
+    if config.fused_testing is not None:
+        return bool(config.fused_testing)
+    pos_bytes = (config.big_move_attempts * config.num_chains
+                 * config.num_particles * config.num_dim * 4)
+    return pos_bytes < 128 * 1024 * 1024
+
+
 def run(config: ExperimentConfig,
         premade_data_path: str = None) -> Dict:
     """Run Algorithm 1.
@@ -159,34 +206,52 @@ def run(config: ExperimentConfig,
     results: Dict = {"directory": directory,
                      "final_loss": loss_epoch[-1] if loss_epoch else None}
     if config.testing:
-        testing_round = make_testing_step(config, spec, model)
         c = config.num_chains
-        p_acc_history = [0.0]
-        steps_history = [0]
-        total_steps = 0
-        big_move_accepts = 0
-        big_move_attempts = 0
-        testing_positions = []  # (rounds, C, N, 2) accepted-state snapshots
-
         move_key = jax.random.key(config.master_seed + 3)
-        for attempt in range(config.big_move_attempts):
-            move_key, k_prop, k_u = jax.random.split(move_key, 3)
-            prop_flat, log_q_new = model.sample_and_log_prob(params, k_prop, c)
-            u = jax.random.uniform(k_u, (c,))
-            state, accepted = testing_round(state, params, prop_flat,
-                                            log_q_new, u)
-            total_steps += config.big_move_interval * c
-            big_move_attempts += c
-            big_move_accepts += int(np.sum(np.asarray(accepted)))
-            p_acc_history.append(big_move_accepts / big_move_attempts)
-            steps_history.append(total_steps)
-            testing_positions.append(np.asarray(state.positions))
-            if (attempt + 1) % 100 == 0:
-                logger.info("big-move round %d/%d: p_acc=%.4f",
-                            attempt + 1, config.big_move_attempts,
-                            p_acc_history[-1])
-                metrics.log("big_move_round", round=attempt + 1,
-                            p_acc=p_acc_history[-1])
+        if _use_fused_testing(config):
+            logger.info("testing phase: fused on-device scan over %d rounds",
+                        config.big_move_attempts)
+            run_testing = make_fused_testing(config, spec, model)
+            state, accepted_rounds, positions_rounds = run_testing(
+                state, params, move_key)
+            accepted_rounds = np.asarray(accepted_rounds)      # (R, C)
+            testing_positions = list(np.asarray(positions_rounds))
+            acc_cum = np.cumsum(accepted_rounds.sum(axis=1))
+            rounds = np.arange(1, config.big_move_attempts + 1)
+            p_acc_history = [0.0] + list(acc_cum / (c * rounds))
+            steps_history = [0] + list(rounds * config.big_move_interval * c)
+            for r in range(100, config.big_move_attempts + 1, 100):
+                metrics.log("big_move_round", round=r,
+                            p_acc=p_acc_history[r])
+        else:
+            testing_round = make_testing_step(config, spec, model)
+            p_acc_history = [0.0]
+            steps_history = [0]
+            total_steps = 0
+            big_move_accepts = 0
+            big_move_attempts = 0
+            testing_positions = []  # (rounds, C, N, 2) snapshots
+
+            for attempt in range(config.big_move_attempts):
+                move_key, k_prop, k_u = jax.random.split(move_key, 3)
+                prop_flat, log_q_new = model.sample_and_log_prob(
+                    params, k_prop, c)
+                u = jax.random.uniform(k_u, (c,))
+                state, accepted = testing_round(state, params, prop_flat,
+                                                log_q_new, u)
+                total_steps += config.big_move_interval * c
+                big_move_attempts += c
+                big_move_accepts += int(np.sum(np.asarray(accepted)))
+                p_acc_history.append(big_move_accepts / big_move_attempts)
+                steps_history.append(total_steps)
+                testing_positions.append(np.asarray(state.positions))
+                if (attempt + 1) % 100 == 0:
+                    logger.info("big-move round %d/%d: p_acc=%.4f",
+                                attempt + 1, config.big_move_attempts,
+                                p_acc_history[-1])
+                    metrics.log("big_move_round", round=attempt + 1,
+                                p_acc=p_acc_history[-1])
+        logger.info("testing phase done: p_acc=%.4f", p_acc_history[-1])
 
         plot_acceptance_rate(p_acc_history, directory,
                              x_values=steps_history, xlabel="MCMC Steps",

@@ -64,6 +64,12 @@ class ExperimentConfig:
     testing: bool = True
     big_move_attempts: int = 1000
     big_move_interval: int = 1000
+    # Fuse the whole testing phase into one on-device lax.scan (one
+    # dispatch instead of ~4 tunnel round-trips per round).  None = auto:
+    # fused when the stacked per-round positions output fits comfortably
+    # on device (< ~128 MB); False forces the host-driven loop (per-round
+    # logging, unbounded round counts).
+    fused_testing: "bool | None" = None
 
     # analysis
     num_samples_for_analysis: int = 50000

@@ -57,6 +57,37 @@ def test_algorithm1_smoke(tmp_path):
     assert "delta_f_mean" in results
 
 
+def test_algorithm1_fused_testing_matches_host_loop(tmp_path):
+    """The fused on-device testing scan consumes the PRNG streams in the
+    same order as the host-driven loop, so for fixed seeds the two paths
+    must produce the same acceptance history and free energy."""
+    from flowstate_tpu.experiments import algorithm1
+
+    def go(fused, eid):
+        config = algorithm1_config(
+            experiment_id=eid, output_dir=str(tmp_path), num_chains=4,
+            equilibration_steps=200, adjusting_frequency=100,
+            sampling_frequency=10, initial_training_num_samples=64,
+            batch_size=16, epochs=2, K=2, hidden_units=16, num_bins=4,
+            big_move_attempts=4, big_move_interval=20,
+            num_samples_for_analysis=50, fused_testing=fused)
+        return algorithm1.run(config)
+
+    r_fused = go(True, "a1_fused")
+    r_loop = go(False, "a1_loop")
+    assert r_fused["big_move_acceptance"] == r_loop["big_move_acceptance"]
+    a_fused = np.loadtxt(os.path.join(r_fused["directory"],
+                                      "acceptance_rate_data.csv"),
+                         delimiter=",", skiprows=1)
+    a_loop = np.loadtxt(os.path.join(r_loop["directory"],
+                                     "acceptance_rate_data.csv"),
+                        delimiter=",", skiprows=1)
+    np.testing.assert_allclose(a_fused, a_loop, rtol=0, atol=0)
+    if np.isfinite(r_loop["delta_f_mean"]):
+        np.testing.assert_allclose(r_fused["delta_f_mean"],
+                                   r_loop["delta_f_mean"], rtol=1e-6)
+
+
 def test_algorithm2_smoke(tmp_path):
     from flowstate_tpu.experiments import algorithm2
     config = algorithm2_config(
