@@ -17,6 +17,11 @@ from flowstate_tpu.mcmc.initialise import (
     initialise_low_left,
     initialise_low_right,
 )
+from flowstate_tpu.mcmc.mala import (
+    MALA_TARGET_ACCEPTANCE, adjust_tau, mala_move, potential_gradient,
+    run_mala, run_mala_batch, run_mala_equilibration,
+    run_mala_equilibration_batch,
+)
 from flowstate_tpu.mcmc.metropolis import (
     Observables,
     adjust_displacement,
