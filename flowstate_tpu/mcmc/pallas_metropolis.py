@@ -22,8 +22,8 @@ the chain axis auto-pads to a c_blk multiple.
 Measured on v5e: 1.07 Gmoves/s at N=3 (vs 0.80 G for the XLA scan engine —
 both near the VPU roof for the tiny-N op mix), and at larger particle
 counts the gap opens because the XLA path's scan overhead and one-hot
-selects stop amortizing: N=128 67 Mmoves/s vs 14 M (4.9x), N=1024
-6.7 M vs 4.4 M (tools/n_scaling.py -> results/n_scaling.json).  Dense
+selects stop amortizing: N=128 220 Mmoves/s vs 15 M (14.4x), N=1024
+17.5 M vs 5.3 M (3.3x) (tools/n_scaling.py -> results/n_scaling.json).  Dense
 O(N) per-move energies remain the right algorithm on this hardware up to
 MAX_PARTICLES: at rho*r_c^2 ~ 0.2-2 a neighbor list would average <10
 entries, but its per-move dynamic gathers serialize on the VPU while the
@@ -57,12 +57,15 @@ MAX_PARTICLES = 1024  # dense per-move energy stays on the VPU up to here;
 def _pick_c_blk(rows: int) -> int:
     """Chains per grid program for a given particle-row count.
 
-    The kernel keeps ~12 live (rows, c_blk) fp32 arrays (state planes,
-    displaced copies, pair temporaries); cap that at ~6 MB of the ~16 MB
-    VMEM.  Lanes must stay a multiple of 128.
+    Measured rule (v5e sweeps, 2026-08-19): wide blocks win while the
+    particle axis is shallow (rows <= 32: 512 lanes, e.g. 2.79 vs 1.47
+    Gmoves/s at N=8), but once per-move tiles are deep, narrow blocks
+    pipeline better (rows >= 64: 128 lanes, e.g. N=128: 211 vs 159
+    Mmoves/s; N=512: 39.5 vs 37.5; N=1024 equal).  The narrow choice also
+    keeps the ~12 live (rows, c_blk) fp32 temporaries <= 6 MB of the
+    ~16 MB VMEM at rows = 1024.
     """
-    budget = 6 * 1024 * 1024 // (12 * 4 * rows)   # lanes
-    return max(128, min(C_BLK, (budget // 128) * 128))
+    return C_BLK if rows <= 32 else 128
 
 
 HARD_CORE_E = 1e30  # finite stand-in for +inf inside the kernel

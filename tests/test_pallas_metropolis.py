@@ -99,8 +99,8 @@ def test_large_n_shrinks_chain_block():
     from flowstate_tpu.mcmc.pallas_metropolis import _pick_c_blk
 
     assert _pick_c_blk(8) == 512
-    assert _pick_c_blk(256) == 512
-    assert _pick_c_blk(512) == 256
+    assert _pick_c_blk(32) == 512
+    assert _pick_c_blk(64) == 128
     assert _pick_c_blk(1024) == 128
 
     n = 72
