@@ -103,6 +103,16 @@ class CircularSplineCoupling:
     mask: Optional[Tuple[int, ...]] = None
     use_norm: bool = True
     init_identity: bool = True
+    # conditional path: context gates the ResidualNet through a GLU
+    # (reference coupling.py:51-54 + resnet.py:48-49), making this layer
+    # usable inside ConditionalNormalizingFlow (core.py:233-383)
+    context_features: Optional[int] = None
+    dropout_probability: float = 0.0
+    # True (default) enforces the real boundary-slope tie for circular
+    # tails; False reproduces the reference fork's no-op tie (its list-tails
+    # path pads a derivative slot the spline never gathers — see
+    # ops/splines.py docstring).  Parity tests vs the torch fork set False.
+    circular_tie: bool = True
 
     # ----- static derived structure -------------------------------------
 
@@ -150,11 +160,19 @@ class CircularSplineCoupling:
                 [jnp.cos(scale * x), jnp.sin(scale * x)], axis=-1)
 
         if self.net_type == "transformer":
+            if self.context_features:
+                raise ValueError("context is only wired through the "
+                                 "residual backend (as in the reference: "
+                                 "resnet.py:48-49)")
             return TransformerNet(
                 in_features=2 * d_id, out_features=out_features,
                 embed_dim=self.hidden_units, num_heads=self.num_heads,
                 num_layers=self.num_blocks, preprocessing=periodic_features)
         if self.net_type == "gnn":
+            if self.context_features:
+                raise ValueError("context is only wired through the "
+                                 "residual backend (as in the reference: "
+                                 "resnet.py:48-49)")
             return TorusEGNN(
                 num_node=d_id, out_dim=out_features, feat_dim=1,
                 hidden_dim=self.hidden_units, num_layers=self.num_blocks,
@@ -162,7 +180,9 @@ class CircularSplineCoupling:
         return ResidualNet(
             in_features=2 * d_id, out_features=out_features,
             hidden_features=self.hidden_units, num_blocks=self.num_blocks,
-            use_norm=self.use_norm, preprocessing=periodic_features)
+            use_norm=self.use_norm, preprocessing=periodic_features,
+            context_features=self.context_features,
+            dropout_probability=self.dropout_probability)
 
     # ----- params --------------------------------------------------------
 
@@ -186,9 +206,13 @@ class CircularSplineCoupling:
     # ----- transforms ----------------------------------------------------
 
     def _conditional_spline(self, params, identity_split, transform_split,
-                            inverse: bool):
+                            inverse: bool, context=None):
         d_tr = len(self.transform_idx)
-        raw = self._net().apply(params["net"], identity_split)
+        if self.context_features:
+            raw = self._net().apply(params["net"], identity_split,
+                                    context=context)
+        else:
+            raw = self._net().apply(params["net"], identity_split)
         raw = raw.reshape(raw.shape[0], d_tr, self._param_multiplier)
         nb = self.num_bins
         # softmax pre-scaling by sqrt(hidden) (coupling.py:340-345)
@@ -198,7 +222,8 @@ class CircularSplineCoupling:
         ud = raw[..., 2 * nb:]
         out, logdet = unconstrained_rational_quadratic_spline(
             transform_split, uw, uh, ud, inverse=inverse,
-            tails=self._tails_transform, tail_bound=self.tail_bound)
+            tails=self._tails_transform, tail_bound=self.tail_bound,
+            circular_tie=self.circular_tie)
         return out, sum_except_batch(logdet)
 
     def _unconditional_spline(self, params, identity_split, inverse: bool):
@@ -209,7 +234,8 @@ class CircularSplineCoupling:
         ud = jnp.broadcast_to(u["derivatives"], (b, *u["derivatives"].shape))
         out, logdet = unconstrained_rational_quadratic_spline(
             identity_split, uw, uh, ud, inverse=inverse,
-            tails=self._tails_identity, tail_bound=self.tail_bound)
+            tails=self._tails_identity, tail_bound=self.tail_bound,
+            circular_tie=self.circular_tie)
         return out, sum_except_batch(logdet)
 
     def _scatter(self, identity_split, transform_split):
@@ -219,12 +245,13 @@ class CircularSplineCoupling:
         out = out.at[:, self.transform_idx].set(transform_split)
         return out
 
-    def _coupling_forward(self, params, x):
+    def _coupling_forward(self, params, x, context=None):
         """``Coupling.forward`` (coupling.py:71-102): spline fwd + roll."""
         identity_split = x[:, self.identity_idx]
         transform_split = x[:, self.transform_idx]
         transform_out, logdet = self._conditional_spline(
-            params, identity_split, transform_split, inverse=False)
+            params, identity_split, transform_split, inverse=False,
+            context=context)
         identity_out, logdet_id = self._unconditional_spline(
             params, identity_split, inverse=False)
         out = self._scatter(identity_out, transform_out)
@@ -232,7 +259,7 @@ class CircularSplineCoupling:
         out = jnp.concatenate([out[:, split:], out[:, :split]], axis=1)
         return out, logdet + logdet_id
 
-    def _coupling_inverse(self, params, x):
+    def _coupling_inverse(self, params, x, context=None):
         """``Coupling.inverse`` (coupling.py:104-134): unroll + spline inv."""
         split = self.features // 2
         x = jnp.concatenate([x[:, split:], x[:, :split]], axis=1)
@@ -241,19 +268,20 @@ class CircularSplineCoupling:
         identity_out, logdet = self._unconditional_spline(
             params, identity_split, inverse=True)
         transform_out, logdet_tr = self._conditional_spline(
-            params, identity_out, transform_split, inverse=True)
+            params, identity_out, transform_split, inverse=True,
+            context=context)
         out = self._scatter(identity_out, transform_out)
         return out, logdet + logdet_tr
 
     # ----- flow-direction API (wrapper.py:269-275 swap) -------------------
 
-    def forward(self, params, z):
+    def forward(self, params, z, context=None):
         """Latent -> data (sampling direction)."""
-        return self._coupling_inverse(params, z)
+        return self._coupling_inverse(params, z, context=context)
 
-    def inverse(self, params, z):
+    def inverse(self, params, z, context=None):
         """Data -> latent (log_prob direction)."""
-        return self._coupling_forward(params, z)
+        return self._coupling_forward(params, z, context=context)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,8 +43,12 @@ def _linear_init(key, in_dim, out_dim):
 
 
 def _linear(params, x):
-    return jnp.dot(x, params["w"],
-                   preferred_element_type=jnp.float32) + params["b"]
+    # fp32 MXU accumulation by default; honor fp64 when the x64 parity
+    # tests run with double inputs (downcasting there would cap parity
+    # at fp32 noise)
+    pet = (jnp.float64 if jnp.promote_types(x.dtype, params["w"].dtype)
+           == jnp.float64 else jnp.float32)
+    return jnp.dot(x, params["w"], preferred_element_type=pet) + params["b"]
 
 
 def _layer_norm(x, eps=1e-3):
@@ -58,7 +62,13 @@ class ResidualNet:
     """Pre-activation residual MLP; reference ``nets/resnet.py:53-104``.
 
     ``use_norm`` replaces the reference's BatchNorm (``resnet.py:22-26``)
-    with stateless LayerNorm.
+    with stateless LayerNorm.  ``context_features`` enables the reference's
+    conditional path: the context concatenates into the initial layer
+    (``resnet.py:72-77, 98-100``) and gates every residual block through a
+    GLU (``resnet.py:27-28, 48-49``: ``glu(cat(h, W_c c)) = h * sigmoid(W_c
+    c)``).  ``dropout_probability`` matches ``resnet.py:32, 46`` — applied
+    between the block's activations only when ``apply`` is given a ``key``
+    (pure-functional train/eval split: no key, no dropout).
     """
 
     in_features: int
@@ -68,12 +78,19 @@ class ResidualNet:
     use_norm: bool = False
     activation: Activation = jax.nn.relu
     preprocessing: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+    context_features: Optional[int] = None
+    dropout_probability: float = 0.0
 
     def init_params(self, key: jax.Array, init_identity: bool = False,
                     identity_bias: float = 0.0):
-        keys = jax.random.split(key, 2 + 2 * self.num_blocks)
-        params = {"initial": _linear_init(keys[0], self.in_features,
-                                          self.hidden_features)}
+        ctx = self.context_features
+        # key layout is unchanged when ctx is None (keeps every existing
+        # seeded initialization bit-identical); ctx keys append at the end
+        keys = jax.random.split(
+            key, (3 + 3 * self.num_blocks) if ctx
+            else (2 + 2 * self.num_blocks))
+        params = {"initial": _linear_init(
+            keys[0], self.in_features + (ctx or 0), self.hidden_features)}
         blocks = []
         for b in range(self.num_blocks):
             l1 = _linear_init(keys[1 + 2 * b], self.hidden_features,
@@ -87,7 +104,12 @@ class ResidualNet:
                       k1, l2["w"].shape, minval=-1e-3, maxval=1e-3),
                   "b": jax.random.uniform(
                       k2, l2["b"].shape, minval=-1e-3, maxval=1e-3)}
-            blocks.append({"l1": l1, "l2": l2})
+            block = {"l1": l1, "l2": l2}
+            if ctx:
+                block["ctx"] = _linear_init(
+                    keys[2 + 2 * self.num_blocks + b], ctx,
+                    self.hidden_features)
+            blocks.append(block)
         params["blocks"] = blocks
         final = _linear_init(keys[-1], self.hidden_features, self.out_features)
         if init_identity:
@@ -97,11 +119,14 @@ class ResidualNet:
         params["final"] = final
         return params
 
-    def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, params, x: jnp.ndarray, context: jnp.ndarray = None,
+              key: jax.Array = None) -> jnp.ndarray:
         if self.preprocessing is not None:
             x = self.preprocessing(x)
+        if self.context_features:
+            x = jnp.concatenate([x, context], axis=-1)
         t = _linear(params["initial"], x)
-        for blk in params["blocks"]:
+        for i, blk in enumerate(params["blocks"]):
             r = t
             if self.use_norm:
                 r = _layer_norm(r)
@@ -110,7 +135,15 @@ class ResidualNet:
             if self.use_norm:
                 r = _layer_norm(r)
             r = self.activation(r)
+            if self.dropout_probability > 0.0 and key is not None:
+                keep = 1.0 - self.dropout_probability
+                mask = jax.random.bernoulli(
+                    jax.random.fold_in(key, i), keep, r.shape)
+                r = jnp.where(mask, r / keep, 0.0)
             r = _linear(blk["l2"], r)
+            if self.context_features:
+                # GLU gate (resnet.py:48-49)
+                r = r * jax.nn.sigmoid(_linear(blk["ctx"], context))
             t = t + r
         return _linear(params["final"], t)
 
