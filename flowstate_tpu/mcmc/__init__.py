@@ -50,6 +50,7 @@ from flowstate_tpu.mcmc.tempering import (
     run_replica_exchange,
     run_tempered_moves,
     swap_replicas,
+    swap_replicas_replica_sharded,
     temperature_ladder,
 )
 
@@ -69,6 +70,6 @@ __all__ = [
     "init_alternating_wells",
     "check_equilibration", "acceptance_fraction", "ensemble_acceptance",
     "temperature_ladder", "init_tempered_state", "run_tempered_moves",
-    "swap_replicas", "run_replica_exchange",
+    "swap_replicas", "swap_replicas_replica_sharded", "run_replica_exchange",
     "SwapResult", "ReplicaExchangeResult",
 ]

@@ -97,12 +97,15 @@ class SwapResult(NamedTuple):
 
 
 def swap_replicas(betas: jnp.ndarray, state: ChainState, key: jax.Array,
-                  parity) -> SwapResult:
+                  parity, u: jnp.ndarray = None) -> SwapResult:
     """One alternating-parity exchange sweep.
 
     ``parity`` 0 pairs (0,1), (2,3), …; parity 1 pairs (1,2), (3,4), …
     (ends unpaired).  May be a traced value — the partner map is pure jnp,
     so one compiled program serves both parities inside ``lax.scan``.
+
+    ``u`` optionally supplies the (R, W) uniforms (the walker-sharded path
+    precomputes a globally-consistent table; see ``run_replica_exchange``).
     """
     r, w = state.energy.shape
     idx = jnp.arange(r)
@@ -117,7 +120,8 @@ def swap_replicas(betas: jnp.ndarray, state: ChainState, key: jax.Array,
     log_ratio = d_beta[:, None] * d_e                   # symmetric in pair
 
     # one uniform per pair: both members read the draw of the lower index
-    u = jax.random.uniform(key, (r, w))
+    if u is None:
+        u = jax.random.uniform(key, (r, w))
     pair_low = jnp.minimum(idx, partner)
     u_pair = u[pair_low]
     accept = valid[:, None] & (jnp.log(u_pair) < log_ratio)
@@ -125,6 +129,64 @@ def swap_replicas(betas: jnp.ndarray, state: ChainState, key: jax.Array,
     take = lambda field: jnp.where(
         accept.reshape((r, w) + (1,) * (field.ndim - 2)),
         field[partner], field)
+    new_state = state._replace(
+        positions=take(state.positions),
+        energy=take(state.energy),
+        virial=take(state.virial),
+    )
+    return SwapResult(new_state, accept, lower & valid)
+
+
+def swap_replicas_replica_sharded(betas: jnp.ndarray, state: ChainState,
+                                  key: jax.Array, parity,
+                                  axis_name: str) -> SwapResult:
+    """Exchange sweep with the REPLICA axis sharded over a mesh axis.
+
+    The one PT coupling that is not embarrassingly parallel: a swap partner
+    can live on the neighbouring shard.  Exchanges only ever touch ladder
+    neighbours, so the cross-shard traffic is two nearest-neighbour
+    ``jax.lax.ppermute`` edge-row exchanges per field — the pattern rides
+    ICI (cf. module docstring).  Call inside ``shard_map`` with the state's
+    replica axis sharded over ``axis_name``; ``betas`` and ``key`` must be
+    replicated (every shard draws the identical global uniform table, so
+    the result is bit-identical to the unsharded ``swap_replicas``).
+    """
+    r_local, w = state.energy.shape
+    n_shards = jax.lax.axis_size(axis_name)
+    r_total = r_local * n_shards
+    g0 = jax.lax.axis_index(axis_name) * r_local
+    gi = g0 + jnp.arange(r_local)
+    lower = (gi - parity) % 2 == 0
+    partner_g = jnp.where(lower, gi + 1, gi - 1)
+    valid = (partner_g >= 0) & (partner_g <= r_total - 1)
+    partner_g = jnp.clip(partner_g, 0, r_total - 1)
+
+    # ring permutations (static): my last row -> right neighbour, my first
+    # row -> left neighbour; the wrap-around rows are masked off by `valid`
+    right_perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    left_perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    ext_idx = partner_g - g0 + 1  # index into [prev_last, local…, next_first]
+
+    def partner_rows(field):
+        prev_last = jax.lax.ppermute(field[-1], axis_name, right_perm)
+        next_first = jax.lax.ppermute(field[0], axis_name, left_perm)
+        ext = jnp.concatenate(
+            [prev_last[None], field, next_first[None]], axis=0)
+        return ext[ext_idx]
+
+    d_beta = betas[gi] - betas[partner_g]                # (r_local,)
+    d_e = state.energy - partner_rows(state.energy)      # (r_local, W)
+    log_ratio = d_beta[:, None] * d_e
+
+    # the same global uniform table on every shard; both pair members read
+    # the lower index's draw (matches the unsharded swap_replicas exactly)
+    u = jax.random.uniform(key, (r_total, w))
+    u_pair = u[jnp.minimum(gi, partner_g)]
+    accept = valid[:, None] & (jnp.log(u_pair) < log_ratio)
+
+    take = lambda field: jnp.where(
+        accept.reshape((r_local, w) + (1,) * (field.ndim - 2)),
+        partner_rows(field), field)
     new_state = state._replace(
         positions=take(state.positions),
         energy=take(state.energy),
@@ -153,7 +215,9 @@ def run_replica_exchange(spec: SystemSpec, betas: jnp.ndarray,
                          state: ChainState, key: jax.Array,
                          num_rounds: int, moves_per_round: int,
                          record: str = "cold",
-                         record_fn=None) -> ReplicaExchangeResult:
+                         record_fn=None,
+                         total_walkers: int = None,
+                         walker_offset=0) -> ReplicaExchangeResult:
     """The full PT loop: {local moves at every temperature, one exchange
     sweep with alternating parity}, recording the sampled trajectory.
 
@@ -162,6 +226,15 @@ def run_replica_exchange(spec: SystemSpec, betas: jnp.ndarray,
     (``analysis/mbar.py``) can pool the whole ladder.  One ``lax.scan``
     over rounds — jit this whole function; wall-clock is the local moves
     (the swap is O(R·W) elementwise).
+
+    Walker-sharded multi-chip path (the one PT coupling that is NOT
+    embarrassingly parallel is the replica axis, which stays on-shard; the
+    walker axis shards freely): inside ``shard_map`` pass the GLOBAL walker
+    count as ``total_walkers`` and this shard's start index (``lax.
+    axis_index(mesh_axis) * w_local``) as ``walker_offset`` — every shard
+    then draws the same global swap-uniform table and slices its columns,
+    so the sharded run is bit-identical to the single-device run.  The
+    local moves already consume per-walker keys carried in ``ChainState``.
     """
     if record not in ("cold", "all"):
         raise ValueError(f"unknown record mode {record!r}")
@@ -171,7 +244,13 @@ def run_replica_exchange(spec: SystemSpec, betas: jnp.ndarray,
         st, k = carry
         k, k_swap = jax.random.split(k)
         st = run_tempered_moves(spec, betas, st, moves_per_round)
-        res = swap_replicas(betas, st, k_swap, parity=i % 2)
+        w_local = st.energy.shape[1]
+        u_full = jax.random.uniform(
+            k_swap, (r, total_walkers if total_walkers else w_local))
+        u = jax.lax.dynamic_slice(
+            u_full, (0, walker_offset if total_walkers else 0),
+            (r, w_local))
+        res = swap_replicas(betas, st, k_swap, parity=i % 2, u=u)
         # edge i <-> i+1 accounting at the lower member only — an upper
         # member's accepted flag belongs to the edge below it
         att = res.edge_attempted[:-1].astype(jnp.float32)

@@ -142,3 +142,124 @@ def test_sharded_tempering_matches_single_device():
                                np.asarray(ref.state.positions), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.edge_acceptance),
                                np.asarray(ref.edge_acceptance), atol=1e-6)
+
+
+def test_shard_map_tempering_matches_single_device():
+    """PT under EXPLICIT shard_map over the walker axis: the swap uniforms
+    must stay globally consistent, which the walker_offset/total_walkers
+    path provides (every shard draws the global table and slices its
+    columns) — bit-identical to the single-device run."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from flowstate_tpu.mcmc import (
+        init_tempered_state, run_replica_exchange, temperature_ladder,
+    )
+
+    spec = _spec()
+    mesh = make_chain_mesh(n_devices=4)
+    r, w = 3, 8
+    betas = temperature_ladder(1.0, 4.0, r)
+    lx = spec.box.size_x
+    pos = np.tile(np.array([[lx / 4, lx / 2], [lx / 4 + 1.1, lx / 2],
+                            [lx / 4 - 0.6, lx / 2 + 0.9]], dtype=np.float32),
+                  (r, w, 1, 1))
+    state = init_tempered_state(spec, jnp.asarray(pos), jax.random.key(3),
+                                0.65)
+    key = jax.random.key(4)
+
+    ref = jax.jit(lambda s: run_replica_exchange(
+        spec, betas, s, key, num_rounds=6, moves_per_round=10))(state)
+
+    def shard_fn(s):
+        w_local = s.energy.shape[1]
+        off = jax.lax.axis_index(CHAIN_AXIS) * w_local
+        res = run_replica_exchange(
+            spec, betas, s, key, num_rounds=6, moves_per_round=10,
+            total_walkers=w, walker_offset=off)
+        return (res.state, res.edge_acceptance[None],
+                res.cold_positions, res.cold_energy)
+
+    state_spec = jax.tree_util.tree_map(lambda _: P(None, CHAIN_AXIS), state)
+    out_state, edge, cold_pos, cold_e = jax.jit(shard_map(
+        shard_fn, mesh=mesh, in_specs=(state_spec,),
+        out_specs=(state_spec, P(CHAIN_AXIS), P(None, CHAIN_AXIS),
+                   P(None, CHAIN_AXIS))))(state)
+
+    np.testing.assert_array_equal(np.asarray(out_state.positions),
+                                  np.asarray(ref.state.positions))
+    np.testing.assert_array_equal(np.asarray(cold_pos),
+                                  np.asarray(ref.cold_positions))
+    np.testing.assert_array_equal(np.asarray(cold_e),
+                                  np.asarray(ref.cold_energy))
+    # per-shard edge acceptances average (equal walker counts) to the global
+    np.testing.assert_allclose(np.asarray(edge).reshape(4, r - 1).mean(0),
+                               np.asarray(ref.edge_acceptance), atol=1e-6)
+
+
+def test_replica_sharded_swap_crosses_shards():
+    """The REPLICA axis sharded one-replica-per-device: swap partners live
+    on neighbouring shards and move via ppermute — bit-identical to the
+    unsharded swap_replicas, for both parities."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from flowstate_tpu.mcmc import (
+        init_tempered_state, swap_replicas, swap_replicas_replica_sharded,
+        temperature_ladder,
+    )
+
+    spec = _spec()
+    r, w = 8, 4
+    mesh = make_chain_mesh(n_devices=8)
+    betas = temperature_ladder(1.0, 8.0, r)
+    lx = spec.box.size_x
+    rng = np.random.default_rng(5)
+    base = np.array([[lx / 4, lx / 2], [lx / 4 + 1.1, lx / 2],
+                     [lx / 4 - 0.6, lx / 2 + 0.9]], dtype=np.float32)
+    pos = base[None, None] + rng.uniform(
+        -0.05, 0.05, size=(r, w, 3, 2)).astype(np.float32)
+    state = init_tempered_state(spec, jnp.asarray(pos), jax.random.key(6),
+                                0.65)
+    state_spec = jax.tree_util.tree_map(lambda _: P(CHAIN_AXIS), state)
+
+    for parity in (0, 1):
+        key = jax.random.key(10 + parity)
+        ref = swap_replicas(betas, state, key, parity=parity)
+
+        out = jax.jit(shard_map(
+            lambda s: swap_replicas_replica_sharded(
+                betas, s, key, parity, CHAIN_AXIS),
+            mesh=mesh, in_specs=(state_spec,),
+            out_specs=type(ref)(state_spec, P(CHAIN_AXIS), P(CHAIN_AXIS))))(
+                state)
+
+        assert bool(np.any(np.asarray(ref.accepted))), "want real swaps"
+        np.testing.assert_array_equal(np.asarray(out.accepted),
+                                      np.asarray(ref.accepted))
+        np.testing.assert_array_equal(np.asarray(out.state.positions),
+                                      np.asarray(ref.state.positions))
+        np.testing.assert_array_equal(np.asarray(out.state.energy),
+                                      np.asarray(ref.state.energy))
+
+
+def test_sharded_mala_matches_single_device():
+    """MALA consumes per-chain keys carried in ChainState, so the sharded
+    run is bit-identical to the single-device run."""
+    from flowstate_tpu.mcmc import run_mala_batch
+
+    spec = _spec()
+    mesh = make_chain_mesh(n_devices=4)
+    pos, _ = init_alternating_wells(8, 3, 0.03)
+    state = init_chain_state(spec, jnp.asarray(pos), jax.random.key(7), 0.02)
+
+    ref = run_mala_batch(spec, 1.0, state, 25)
+
+    sharded_state = shard_chain_state(state, mesh)
+    fn = sharded_chain_fn(lambda s: run_mala_batch(spec, 1.0, s, 25), mesh)
+    out = jax.jit(fn)(sharded_state)
+
+    np.testing.assert_array_equal(np.asarray(out.positions),
+                                  np.asarray(ref.positions))
+    np.testing.assert_array_equal(np.asarray(out.accepts),
+                                  np.asarray(ref.accepts))
