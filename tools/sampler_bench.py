@@ -66,28 +66,8 @@ def _timed(fn, *args):
     return out, time.perf_counter() - t0
 
 
-def _crossing_bound_ess(obs_post: np.ndarray) -> float:
-    """Upper bound on the well-state ESS from the observed crossing rate.
-
-    For a stationary two-state chain with transition probs a (A->B) and
-    b (B->A), the label autocorrelation is rho(t) = (1-a-b)^t, so
-    IAT = (2-s)/s with s = a+b, and the per-draw flip rate is
-    p = 2ab/(a+b), i.e. s = (p/2)(1/pi_A + 1/pi_B).  Bounding the
-    equilibrium majority-state occupancies generously by [1/6, 5/6]
-    (the exact quadrature puts them near [0.4, 0.6]) gives s <= 3.6 p,
-    hence ESS = n * s / (2 - s) <= n * 3.6 p_ub / (2 - 3.6 p_ub).
-    p_ub is the Poisson 95% upper confidence limit on the flip rate —
-    valid even when ZERO crossings are observed, which is how the
-    pinned plain-Metropolis side gets a defensible (finite) ESS bound
-    instead of an abandoned estimate (VERDICT r2, weak #2).
-    """
-    from scipy.stats import chi2
-
-    k = int(np.sum(np.abs(np.diff(obs_post, axis=1)) > 0.5))
-    n_trans = obs_post.shape[0] * (obs_post.shape[1] - 1)
-    p_ub = min(float(chi2.ppf(0.975, 2 * k + 2)) / 2 / n_trans, 0.5)
-    s_ub = min(3.6 * p_ub, 1.0)
-    return obs_post.size * s_ub / (2.0 - s_ub)
+from flowstate_tpu.analysis.ess import crossing_bound_ess as \
+    _crossing_bound_ess  # noqa: E402  (shared with ess_check.py)
 
 
 def _summary(name, obs, counts_ab, dt, acc, burn_frac=1 / 3):

@@ -59,6 +59,7 @@ def main(argv=None) -> dict:
     parser.add_argument("--block", type=int, default=50,
                         help="bootstrap block length (time samples)")
     parser.add_argument("--out", default="SECTORS.md")
+    parser.add_argument("--json_out", default=None)
     args = parser.parse_args(argv)
 
     from exact_free_energy import exact_sector_probs
@@ -166,6 +167,10 @@ def main(argv=None) -> dict:
         f.write(f"Overall: **{'PASS' if ok else 'CHECK'}** (ΔF < 3 sigma; "
                 "every sector < 0.03 absolute).\n")
 
+    if args.json_out:
+        os.makedirs(os.path.dirname(args.json_out) or ".", exist_ok=True)
+        with open(args.json_out, "w") as f:
+            json.dump(result, f, indent=1)
     print(json.dumps(result))
     return result
 
