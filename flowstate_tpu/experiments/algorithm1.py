@@ -312,6 +312,21 @@ def run(config: ExperimentConfig,
                         "delta_f_eq_mean": eq_mean,
                         "delta_f_eq_sem": eq_sem,
                         "big_move_acceptance": p_acc_history[-1]})
+        from flowstate_tpu.experiments.common import (
+            _thin, sector_counts, write_evidence,
+        )
+        write_evidence(config, {
+            "driver": "algorithm1",
+            "delta_f_mean": fm, "delta_f_sem": fsem, "delta_f_std": fstd,
+            "delta_f_eq_mean": eq_mean, "delta_f_eq_sem": eq_sem,
+            "delta_f_per_chain_final": [float(f[-1]) if len(f) else None
+                                        for f in free_energy_array],
+            "big_move_acceptance": p_acc_history[-1],
+            "p_acc_history": _thin(p_acc_history),
+            "steps_history": _thin(steps_history),
+            "sector_counts": sector_counts(testing_stack, config.half_box,
+                                           config.r0),
+        })
     return results
 
 

@@ -40,7 +40,8 @@ from flowstate_tpu.analysis.plots import (
 from flowstate_tpu.analysis.rdf import calculate_pair_correlation
 from flowstate_tpu.analysis.wells import calculate_well_statistics
 from flowstate_tpu.experiments.common import (
-    build_system, init_and_equilibrate, plot_wells, setup_experiment,
+    _thin, build_system, init_and_equilibrate, plot_wells, sector_counts,
+    setup_experiment, write_evidence,
 )
 from flowstate_tpu.flows import DoubleWellLJ, build_circular_flow
 from flowstate_tpu.mcmc import apply_big_moves, run_production_batch, to_box_frame
@@ -301,6 +302,20 @@ def run(config: ExperimentConfig, resume: bool = False,
         metrics.log("free_energy", mean=fm, sem=fsem, std=fstd)
         results.update({"delta_f_mean": fm, "delta_f_sem": fsem,
                         "delta_f_std": fstd})
+        write_evidence(config, {
+            "driver": "algorithm2",
+            "fused": fused, "freeze_after": freeze_after,
+            "resumed_from_cycle": start_cycle,
+            "delta_f_mean": fm, "delta_f_sem": fsem, "delta_f_std": fstd,
+            "delta_f_per_chain_final": [float(f[-1]) if len(f) else None
+                                        for f in free_energy_array],
+            "big_move_acceptance": p_acc_history[-1],
+            "p_acc_history": _thin(p_acc_history),
+            "loss_per_cycle": _thin(loss_per_cycle),
+            "training_samples_history": _thin(training_samples_history),
+            "sector_counts": sector_counts(all_traj, config.half_box,
+                                           config.r0),
+        })
     return results
 
 

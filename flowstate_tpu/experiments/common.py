@@ -95,6 +95,80 @@ def plot_wells(config: ExperimentConfig, spec: SystemSpec,
                    config.r0, config.k_val, config.num_wells, directory)
 
 
+def _thin(seq, max_points: int = 2000) -> list:
+    """Subsample a long series to <= max_points (keeps first/last)."""
+    arr = np.asarray(seq, dtype=float)
+    if arr.size <= max_points:
+        return arr.tolist()
+    idx = np.unique(np.round(
+        np.linspace(0, arr.size - 1, max_points)).astype(int))
+    return arr[idx].tolist()
+
+
+def write_evidence(config: ExperimentConfig, payload: dict,
+                   evidence_dir: Optional[str] = None) -> str:
+    """Commit-sized per-run summary JSON.
+
+    Every headline experiment emits its key numbers (ΔF statistics,
+    acceptance/loss curves, sector counts) into ``results/evidence/`` —
+    the one ``results/`` subtree .gitignore keeps — so claims in
+    RESULTS.md/SECTORS.md are traceable to committed artifacts without
+    re-running multi-hour jobs.  Mirrors the reference's
+    every-plot-saves-its-JSON convention (``hybrid_NF_MCMC/utils.py:402-406``)
+    at the whole-run level.
+    """
+    import datetime
+    import json
+
+    if evidence_dir is None:
+        evidence_dir = os.path.join(config.output_dir, "evidence")
+    os.makedirs(evidence_dir, exist_ok=True)
+    doc = {
+        "experiment_id": config.experiment_id,
+        "written_utc": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+        "device": str(jax.devices()[0]),
+        "config": config.to_dict(),
+        **payload,
+    }
+    path = os.path.join(evidence_dir, f"{config.experiment_id}_data.json")
+
+    def default(o):
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        if isinstance(o, (np.floating, np.integer)):
+            return o.item()
+        raise TypeError(type(o))
+
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, default=default)
+    return path
+
+
+def sector_counts(configs: np.ndarray, half_box: float, r0: float = 1.2,
+                  burn_frac: float = 0.5) -> dict:
+    """Sector occupancy summary of a (C, T, N, 2) trajectory stack.
+
+    The same classification tools/sector_check.py applies (0..N = number of
+    particles in well B for fully-in-well configs; 'outside' = any particle
+    in neither well), counted after discarding the first ``burn_frac`` of
+    every chain — compact enough to commit as evidence.
+    """
+    from flowstate_tpu.analysis import classify_particles
+
+    t = configs.shape[1]
+    post = configs[:, int(t * burn_frac):]
+    lab = classify_particles(post, half_box, r0)          # (C, T', N)
+    n_b = (lab == 1).sum(axis=-1)
+    any_out = (lab == 2).any(axis=-1)
+    n = configs.shape[2]
+    sec = np.where(any_out, n + 1, n_b)
+    counts = {f"{k}B": int((sec == k).sum()) for k in range(n + 1)}
+    counts["outside"] = int((sec == n + 1).sum())
+    counts["burn_frac"] = burn_frac
+    return counts
+
+
 def dump_run_artifacts(directory: str, run_idx: int,
                        observables, testing_configs: Optional[np.ndarray]
                        ) -> None:

@@ -30,7 +30,7 @@ from flowstate_tpu.analysis.wells import (
 )
 from flowstate_tpu.experiments.common import (
     build_system, dump_run_artifacts, init_and_equilibrate, plot_wells,
-    setup_experiment,
+    sector_counts, setup_experiment, write_evidence,
 )
 from flowstate_tpu.mcmc import run_production_batch
 from flowstate_tpu.utils.config import ExperimentConfig, mcmc_only_config
@@ -85,6 +85,17 @@ def run(config: ExperimentConfig,
     cls = classify_particles(configs.reshape(-1, config.num_particles, 2),
                              config.half_box, config.r0)
     plot_state_histogram(cls, directory)
+
+    write_evidence(config, {
+        "driver": "mcmc_only",
+        "total_production_steps": int(total_production_steps),
+        "samples_per_chain": num_samples,
+        "delta_f_mean": final_mean, "delta_f_sem": final_sem,
+        "delta_f_std": final_std,
+        "delta_f_per_chain_final": [float(f[-1]) if len(f) else None
+                                    for f in free_energy_array],
+        "sector_counts": sector_counts(configs, config.half_box, config.r0),
+    })
 
     return {"delta_f_mean": final_mean, "delta_f_sem": final_sem,
             "delta_f_std": final_std, "directory": directory,

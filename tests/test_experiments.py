@@ -34,6 +34,12 @@ def test_mcmc_only_smoke(tmp_path):
                                    "mc_run_configs.npy"))
     assert configs.shape == (200, 3, 2)
     assert np.all(configs >= 0) and np.all(configs <= 10.0)
+    # committed-evidence summary (VERDICT r2 item 7)
+    import json
+    ev = json.load(open(os.path.join(str(tmp_path), "evidence",
+                                     "smoke_data.json")))
+    assert ev["driver"] == "mcmc_only"
+    assert "sector_counts" in ev and "delta_f_mean" in ev
 
 
 def test_algorithm1_smoke(tmp_path):
@@ -105,6 +111,13 @@ def test_algorithm2_smoke(tmp_path):
     assert os.path.exists(os.path.join(d, "p_acc_vs_training_samples.png"))
     # checkpoint written at cycle 4 (= 2 * checkpoint_interval)
     assert os.path.exists(os.path.join(d, "checkpoints", "step_00000004"))
+    import json
+    ev = json.load(open(os.path.join(str(tmp_path), "evidence",
+                                     "smoke_a2_data.json")))
+    assert ev["driver"] == "algorithm2"
+    for key in ("p_acc_history", "loss_per_cycle", "sector_counts",
+                "delta_f_mean"):
+        assert key in ev
 
 
 def test_algorithm2_fused_smoke(tmp_path):
