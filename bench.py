@@ -153,11 +153,14 @@ def hybrid_phase_bench(spec, beta, state) -> dict:
     A1 full-scale config (batch 512, K=15, hidden 256, 32 bins —
     main_algorithm_1.py:57-67).
     """
+    import numpy as np
+
     from flowstate_tpu.flows import build_circular_flow
     from flowstate_tpu.mcmc.hybrid import nf_big_moves
     from flowstate_tpu.training import TrainConfig, make_optimizer
     from flowstate_tpu.training.train import TrainState, make_train_step
-    from flowstate_tpu.training.data import epoch_batches
+
+    HBM_ROOF = 819e9   # v5e: 819 GB/s
 
     half_box = float(spec.box.size_x) / 2
     model = build_circular_flow(3, 2, half_box, K=15, hidden_units=256,
@@ -179,32 +182,46 @@ def hybrid_phase_bench(spec, beta, state) -> dict:
     big_moves_per_s = NUM_CHAINS * TIMED_CALLS / dt_big
 
     # -- training steps/s at the A1 config, one full jitted epoch ---------
+    # (same structure as training.train: host-shuffled batch tensor passed
+    # as the program argument — an in-program shuffle de-pipelines the
+    # epoch scan 10-60x on v5e — and the TrainState carry donated)
     cfg = TrainConfig(batch_size=512, epochs=1, lr=1e-4)
     data = jax.random.uniform(jax.random.key(8), (102400, 6),
                               minval=-half_box, maxval=half_box)
     optimizer = make_optimizer(cfg)
     step = make_train_step(model, cfg, optimizer)
-    tstate = TrainState(params, optimizer.init(params), jax.random.key(9))
+    p0 = jax.tree_util.tree_map(jnp.copy, params)
+    tstate = TrainState(p0, optimizer.init(p0), jax.random.key(9))
 
-    @jax.jit
-    def run_epoch(ts, shuffle_key):
-        batches = epoch_batches(shuffle_key, data, cfg.batch_size)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_epoch(ts, batches):
         ts, losses = jax.lax.scan(step, ts, batches)
         return ts, losses
 
+    from flowstate_tpu.training.data import epoch_batches
+    shuffle = jax.jit(lambda k: epoch_batches(k, data, cfg.batch_size))
     n_steps = data.shape[0] // cfg.batch_size
-    tstate, _ = run_epoch(tstate, jax.random.key(10))  # compile + warmup
+
+    tstate, _ = run_epoch(tstate, shuffle(jax.random.key(10)))
     _ = jax.device_get(jax.tree_util.tree_leaves(tstate.params)[0])
-    epochs_timed = 3
+    # >= ~5 s of timed work: the post-optimization step is ~1 ms, so a
+    # 3-epoch segment was dominated by tunnel dispatch jitter (188-312
+    # steps/s run-to-run); 8 epochs stabilizes it
+    epochs_timed = 8
+    batches = shuffle(jax.random.key(11))
     t0 = time.perf_counter()
     for i in range(epochs_timed):
-        tstate, losses = run_epoch(tstate, jax.random.key(11 + i))
+        nxt = (shuffle(jax.random.key(12 + i))
+               if i + 1 < epochs_timed else None)
+        tstate, losses = run_epoch(tstate, batches)
+        batches = nxt
     _ = jax.device_get(losses[-1])
     dt_train = time.perf_counter() - t0
     train_steps_per_s = n_steps * epochs_timed / dt_train
 
-    # -- MFU / arithmetic intensity of the training step from the compiled
-    #    program's own cost model (spline-coupling matmuls dominate) ------
+    # -- roofline accounting for both phases from the compiled programs'
+    #    own cost model: the phases are HBM-bound, so the headline fraction
+    #    is delivered bytes/s vs the v5e HBM roof (ARCHITECTURE.md §2) ----
     out = {
         "big_moves_per_s": round(big_moves_per_s, 1),
         "big_move_chains": NUM_CHAINS,
@@ -212,9 +229,11 @@ def hybrid_phase_bench(spec, beta, state) -> dict:
         "train_batch": cfg.batch_size,
     }
     try:
-        batch0 = data[: cfg.batch_size]
-        cost = (jax.jit(step).lower(tstate, batch0).compile()
-                .cost_analysis())
+        p1 = jax.tree_util.tree_map(jnp.copy, params)
+        cost = (jax.jit(step).lower(
+            TrainState(p1, optimizer.init(p1), jax.random.key(9)),
+            data[: cfg.batch_size]).compile()
+            .cost_analysis())
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
@@ -227,6 +246,17 @@ def hybrid_phase_bench(spec, beta, state) -> dict:
                 flops * train_steps_per_s / 197e12, 4)
             if nbytes > 0:
                 out["train_arith_intensity"] = round(flops / nbytes, 2)
+                out["train_hbm_frac"] = round(
+                    nbytes * train_steps_per_s / HBM_ROOF, 3)
+        bcost = (jax.jit(big_round).lower(s).compile().cost_analysis())
+        if isinstance(bcost, (list, tuple)):
+            bcost = bcost[0]
+        bbytes = float(bcost.get("bytes accessed", 0.0))
+        if bbytes > 0:
+            rounds_per_s = big_moves_per_s / NUM_CHAINS
+            out["big_move_gbytes_per_round"] = round(bbytes / 1e9, 3)
+            out["big_move_hbm_frac"] = round(
+                bbytes * rounds_per_s / HBM_ROOF, 3)
     except Exception as e:
         print(f"cost analysis unavailable: {e!r}", file=sys.stderr)
     return out

@@ -146,7 +146,9 @@ def build_circular_flow(num_particles: int, num_dim: int, half_box: float,
                         num_bins: int = 32, num_blocks: int = 2,
                         net_type: str = "residual",
                         target: Optional[Any] = None,
-                        scan_layers: bool = True) -> NormalizingFlow:
+                        scan_layers: bool = True,
+                        compute_dtype: Optional[str] = None
+                        ) -> NormalizingFlow:
     """The hybrid experiments' flow: uniform torus base + K circular couplings.
 
     Mirrors the model construction of ``main_algorithm_1.py:276-284`` /
@@ -166,7 +168,8 @@ def build_circular_flow(num_particles: int, num_dim: int, half_box: float,
     layer = CircularSplineCoupling(
         features=dim, num_blocks=num_blocks, hidden_units=hidden_units,
         ind_circ=tuple(range(dim)), num_bins=num_bins,
-        tail_bound=half_box, net_type=net_type)
+        tail_bound=half_box, net_type=net_type,
+        compute_dtype=compute_dtype)
     if scan_layers:
         layers = (ScannedLayers(layer, K),)
     else:
@@ -185,19 +188,34 @@ class ScannedLayers:
     ONE body in the graph.  Numerically identical to the unrolled chain —
     asserted by tests — because every hybrid layer shares one static config
     (the reference also stacks identical layers, main_algorithm_1.py:280-283).
+
+    ``remat`` (default True) wraps the layer body in ``jax.checkpoint``: the
+    backward pass recomputes the RQ-spline intermediates instead of loading
+    them from HBM.  Measured on v5e (tools/train_roofline.py): the training
+    step is HBM-bound on exactly those saved residuals (~4.5 GB/step at
+    batch 512, 83% of the 819 GB/s roof, while the MXU sits at 0.1%), so
+    trading the idle FLOPs for the scarce bytes is the roofline-correct
+    choice.  Gradients are numerically identical (same values, recomputed).
     """
 
     layer: Any
     K: int
+    remat: bool = True
 
     def init_params(self, key: jax.Array):
         keys = jax.random.split(key, self.K)
         return jax.vmap(self.layer.init_params)(keys)
 
+    def _body(self, direction: str):
+        fn = getattr(self.layer, direction)
+        return jax.checkpoint(fn) if self.remat else fn
+
     def forward(self, params, z):
+        step = self._body("forward")
+
         def body(carry, p):
             z, ld = carry
-            z, d = self.layer.forward(p, z)
+            z, d = step(p, z)
             return (z, ld + d), None
 
         ld0 = jnp.zeros_like(z[:, 0])
@@ -205,9 +223,11 @@ class ScannedLayers:
         return z, ld
 
     def inverse(self, params, z):
+        step = self._body("inverse")
+
         def body(carry, p):
             z, ld = carry
-            z, d = self.layer.inverse(p, z)
+            z, d = step(p, z)
             return (z, ld + d), None
 
         ld0 = jnp.zeros_like(z[:, 0])

@@ -108,6 +108,11 @@ class CircularSplineCoupling:
     # usable inside ConditionalNormalizingFlow (core.py:233-383)
     context_features: Optional[int] = None
     dropout_probability: float = 0.0
+    # 'bfloat16': run the param net's matmuls/activations in bf16 (spline
+    # math stays fp32).  Exact for MCMC proposals — the emitted spline
+    # params define q and log q is computed from the same params — and a
+    # bytes-halving lever for the HBM-bound training step (see nets.py).
+    compute_dtype: Optional[str] = None
     # True (default) enforces the real boundary-slope tie for circular
     # tails; False reproduces the reference fork's no-op tie (its list-tails
     # path pads a derivative slot the spline never gathers — see
@@ -182,7 +187,8 @@ class CircularSplineCoupling:
             hidden_features=self.hidden_units, num_blocks=self.num_blocks,
             use_norm=self.use_norm, preprocessing=periodic_features,
             context_features=self.context_features,
-            dropout_probability=self.dropout_probability)
+            dropout_probability=self.dropout_probability,
+            compute_dtype=self.compute_dtype)
 
     # ----- params --------------------------------------------------------
 

@@ -42,19 +42,29 @@ def _linear_init(key, in_dim, out_dim):
     return {"w": w, "b": b}
 
 
-def _linear(params, x):
+def _linear(params, x, compute_dtype=None):
     # fp32 MXU accumulation by default; honor fp64 when the x64 parity
     # tests run with double inputs (downcasting there would cap parity
-    # at fp32 noise)
+    # at fp32 noise).  ``compute_dtype='bfloat16'`` runs the matmul with
+    # bf16 operands AND bf16 output (params stay fp32 in the pytree; the
+    # MXU still accumulates in fp32 internally) — halving the HBM bytes
+    # of every weight read and every saved activation.
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        return (jnp.dot(x.astype(cd), params["w"].astype(cd))
+                + params["b"].astype(cd))
     pet = (jnp.float64 if jnp.promote_types(x.dtype, params["w"].dtype)
            == jnp.float64 else jnp.float32)
     return jnp.dot(x, params["w"], preferred_element_type=pet) + params["b"]
 
 
 def _layer_norm(x, eps=1e-3):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    # statistics in fp32 even under a bf16 compute dtype (bf16 variance is
+    # too coarse); the normalized output keeps x's dtype
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,6 +90,13 @@ class ResidualNet:
     preprocessing: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
     context_features: Optional[int] = None
     dropout_probability: float = 0.0
+    # 'bfloat16' runs every matmul + hidden activation in bf16 (params and
+    # the returned output stay fp32).  Roofline lever: the training step and
+    # the big-move flow passes are HBM-bound, and the net's weight reads +
+    # saved activations are most of the bytes.  For MCMC proposals this is
+    # EXACT (the spline parameters the net emits define the proposal q, and
+    # log q is computed from those same parameters — MH corrects any q).
+    compute_dtype: Optional[str] = None
 
     def init_params(self, key: jax.Array, init_identity: bool = False,
                     identity_bias: float = 0.0):
@@ -121,17 +138,23 @@ class ResidualNet:
 
     def apply(self, params, x: jnp.ndarray, context: jnp.ndarray = None,
               key: jax.Array = None) -> jnp.ndarray:
+        cd = self.compute_dtype
+        out_dtype = x.dtype
         if self.preprocessing is not None:
             x = self.preprocessing(x)
         if self.context_features:
             x = jnp.concatenate([x, context], axis=-1)
-        t = _linear(params["initial"], x)
+        if cd is not None:
+            x = x.astype(cd)
+            if context is not None:
+                context = context.astype(cd)
+        t = _linear(params["initial"], x, cd)
         for i, blk in enumerate(params["blocks"]):
             r = t
             if self.use_norm:
                 r = _layer_norm(r)
             r = self.activation(r)
-            r = _linear(blk["l1"], r)
+            r = _linear(blk["l1"], r, cd)
             if self.use_norm:
                 r = _layer_norm(r)
             r = self.activation(r)
@@ -140,12 +163,13 @@ class ResidualNet:
                 mask = jax.random.bernoulli(
                     jax.random.fold_in(key, i), keep, r.shape)
                 r = jnp.where(mask, r / keep, 0.0)
-            r = _linear(blk["l2"], r)
+            r = _linear(blk["l2"], r, cd)
             if self.context_features:
                 # GLU gate (resnet.py:48-49)
-                r = r * jax.nn.sigmoid(_linear(blk["ctx"], context))
+                r = r * jax.nn.sigmoid(_linear(blk["ctx"], context, cd))
             t = t + r
-        return _linear(params["final"], t)
+        out = _linear(params["final"], t, cd)
+        return out.astype(out_dtype) if cd is not None else out
 
 
 @dataclasses.dataclass(frozen=True)

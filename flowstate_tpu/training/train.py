@@ -24,6 +24,7 @@ Differences from the reference (documented):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -31,7 +32,6 @@ import jax.numpy as jnp
 import optax
 
 from flowstate_tpu.training.data import epoch_batches
-
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
@@ -112,19 +112,36 @@ def train(model, params, data: jnp.ndarray, config: TrainConfig,
         opt_state = optimizer.init(params)
     step = make_train_step(model, config, optimizer)
 
-    @jax.jit
-    def run_epoch(state: TrainState, shuffle_key):
-        batches = epoch_batches(shuffle_key, data, config.batch_size)
+    # donate the carried TrainState: params/opt-state buffers are dead after
+    # each epoch call, so XLA may update Adam moments and params in place.
+    #
+    # The shuffled batch tensor is a program ARGUMENT of the epoch program,
+    # produced by its own eagerly-dispatched jit: measured on v5e, a scan
+    # whose xs is computed in the SAME program (by gather, sort, or even a
+    # trivial reshape of an argument) runs 10-60x slower than the identical
+    # scan consuming an input buffer — XLA stops pipelining the loop.  The
+    # next epoch's shuffle is dispatched BEFORE syncing the current epoch
+    # (async prefetch), so its cost hides behind the epoch's compute.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_epoch(state: TrainState, batches):
         state, losses = jax.lax.scan(step, state, batches)
         return state, losses
+
+    data = jnp.asarray(data)
+    shuffle = jax.jit(
+        lambda k: epoch_batches(k, data, config.batch_size))
 
     key, loop_key = jax.random.split(key)
     epoch_keys = jax.random.split(loop_key, config.epochs)
     state = TrainState(params, opt_state, key)
     loss_history = []
     loss_epoch = []
+    batches = shuffle(epoch_keys[0]) if config.epochs else None
     for epoch in range(config.epochs):
-        state, losses = run_epoch(state, epoch_keys[epoch])
+        nxt = (shuffle(epoch_keys[epoch + 1])
+               if epoch + 1 < config.epochs else None)
+        state, losses = run_epoch(state, batches)
+        batches = nxt
         losses = jax.device_get(losses)
         loss_history.extend(losses.tolist())
         finite = losses[jnp.isfinite(losses)] if losses.size else losses

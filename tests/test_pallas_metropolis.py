@@ -176,3 +176,46 @@ def test_production_pallas_shapes_and_observables():
         obs.positions[:, -1])
     np.testing.assert_allclose(np.asarray(obs.energy_per_particle[:, -1]),
                                np.asarray(e_last) / 3, rtol=1e-6)
+
+
+def test_fast_math_matches_exact_bookkeeping():
+    """fast_math=True (rsqrt-based 1/r2, shared 'others' mask) must keep
+    the cached energy consistent with a full recompute and, with the
+    interpreter's deterministic zero-bit RNG, produce the SAME trajectory
+    as the exact-divide kernel to fp32 noise."""
+    spec = SystemSpec.create(3, Box.from_density(3, 0.03, 1.0), num_wells=2,
+                             V0_list=(-10.0, -10.5), r0=1.2, k=15.0)
+    pos, _ = init_alternating_wells(64, 3, 0.03)
+    state = init_chain_state(spec, jnp.asarray(pos), jax.random.key(0), 0.65)
+    exact = run_moves_pallas(spec, 1.0, state, 100, seed=3, interpret=True)
+    fast = run_moves_pallas(spec, 1.0, state, 100, seed=3, interpret=True,
+                            fast_math=True)
+    np.testing.assert_allclose(np.asarray(fast.positions),
+                               np.asarray(exact.positions), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fast.energy),
+                               np.asarray(exact.energy),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(fast.accepts),
+                                  np.asarray(exact.accepts))
+    # cached energy equals a full recompute
+    res = resync_energy(spec, fast)
+    np.testing.assert_allclose(np.asarray(fast.energy),
+                               np.asarray(res.energy), atol=1e-3)
+
+
+def test_fast_math_large_n():
+    """fast_math at a multi-row particle tile (N=72, rows=72)."""
+    from flowstate_tpu.mcmc.initialise import initialise_fcc
+
+    n = 72
+    pos, box = initialise_fcc(n, 0.3, 1.0)
+    spec = SystemSpec.create(n, box, num_wells=0)
+    state = init_chain_state(
+        spec, jnp.broadcast_to(jnp.asarray(pos), (3, n, 2)),
+        jax.random.key(0), 0.3)
+    out = run_moves_pallas(spec, 1.0, state, 16, seed=7, interpret=True,
+                           fast_math=True)
+    res = resync_energy(spec, out)
+    np.testing.assert_allclose(np.asarray(out.energy),
+                               np.asarray(res.energy),
+                               rtol=1e-5, atol=1e-3)

@@ -40,9 +40,47 @@ from flowstate_tpu.mcmc.pallas_metropolis import (
 from flowstate_tpu.mcmc.state import init_chain_state, resync_energy
 from flowstate_tpu.ops.pair_energy import SystemSpec
 
+# VPU elementwise ops per (row, lane) element per chain-move, counted from
+# the kernel body (pallas_metropolis._move_kernel): two pair sweeps of ~28
+# ops each (PBC-wrapped distances 10, r2+floor 4, LJ 7, cutoff/overlap
+# masks+reduces 7) + ~7 shared ops (one-hot row select, others mask).
+# Divides/rsqrts counted as 1 — so the roof is OPTIMISTIC where divides
+# dominate and frac_of_roof is a LOWER bound on achieved efficiency.
+OPS_PER_ROW_ELEM = 63
+
 
 def _sync(x):
     jax.device_get(x)   # tunnel-safe completion barrier (CLAUDE.md)
+
+
+def calibrate_vpu_ops(rows: int = 512, c_blk: int = 128,
+                      iters: int = 2048, k: int = 32) -> float:
+    """Empirical VPU elementwise roof: a Pallas kernel with the same loop
+    structure as the move kernel whose body is k alternating mul/add pairs
+    on one (rows, c_blk) fp32 tile.  Returns achieved elementwise ops/s
+    (each mul or add = 1 op)."""
+    from jax.experimental import pallas as pl
+
+    def kernel(x_ref, o_ref):
+        def body(_, x):
+            for j in range(k):
+                x = x * 1.0000001
+                x = x + 1e-7
+            return x
+        o_ref[:, :] = jax.lax.fori_loop(0, iters, body, x_ref[:, :])
+
+    x = jnp.ones((rows, c_blk), jnp.float32)
+    f = jax.jit(pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((rows, c_blk), jnp.float32)))
+    y = f(x)
+    _sync(y)
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        y = f(y)
+    _sync(y)
+    dt = (time.perf_counter() - t0) / reps
+    return 2 * k * iters * rows * c_blk / dt
 
 
 def time_engine(fn, state, repeats: int) -> float:
@@ -62,8 +100,15 @@ def main() -> None:
     ap.add_argument("--rho", type=float, default=0.3)
     ap.add_argument("--moves", type=int, default=8192)
     ap.add_argument("--repeats", type=int, default=4)
-    ap.add_argument("--out", default="results/n_scaling.json")
+    ap.add_argument("--out",
+                    default="results/evidence/n_scaling_data.json")
+    ap.add_argument("--no_calibrate", action="store_true")
     args = ap.parse_args()
+
+    vpu_ops_per_s = None
+    if not args.no_calibrate:
+        vpu_ops_per_s = calibrate_vpu_ops()
+        print(json.dumps({"vpu_ops_per_s": vpu_ops_per_s}))
 
     rows = []
     for n in args.ns:
@@ -91,25 +136,44 @@ def main() -> None:
             jax.jit(lambda s: resync_energy(spec, run_moves_pallas(
                 spec, 1.0, s, moves))),
             state, args.repeats)
+        t_fast = time_engine(
+            jax.jit(lambda s: resync_energy(spec, run_moves_pallas(
+                spec, 1.0, s, moves, fast_math=True))),
+            state, args.repeats)
         total = chains * moves
         row = {
             "n": n, "chains": chains, "c_blk": _pick_c_blk(n_rows),
             "xla_moves_per_s": total / t_xla,
             "pallas_moves_per_s": total / t_pal,
+            "pallas_fast_moves_per_s": total / t_fast,
             "speedup": t_xla / t_pal,
         }
+        if vpu_ops_per_s:
+            # useful elementwise ops the kernel must issue per chain-move
+            # (OPS_PER_ROW_ELEM x padded particle rows) vs the calibrated
+            # elementwise roof of the same loop/tile structure
+            best = max(row["pallas_moves_per_s"],
+                       row["pallas_fast_moves_per_s"])
+            row["frac_of_roof"] = (OPS_PER_ROW_ELEM * n_rows * best
+                                   / vpu_ops_per_s)
         rows.append(row)
         print(json.dumps(row))
 
     with open(args.out, "w") as f:
-        json.dump({"device": str(jax.devices()[0]), "rows": rows}, f,
-                  indent=1)
+        json.dump({"device": str(jax.devices()[0]),
+                   "vpu_ops_per_s": vpu_ops_per_s,
+                   "ops_per_row_elem_model": OPS_PER_ROW_ELEM,
+                   "rows": rows}, f, indent=1)
 
-    print("\n| N | chains | XLA moves/s | Pallas moves/s | speedup |")
-    print("|---|---|---|---|---|")
+    print("\n| N | chains | XLA moves/s | Pallas moves/s | fast-math | "
+          "speedup | frac of VPU roof |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['n']} | {r['chains']} | {r['xla_moves_per_s']:.3g} "
-              f"| {r['pallas_moves_per_s']:.3g} | {r['speedup']:.1f}x |")
+              f"| {r['pallas_moves_per_s']:.3g} "
+              f"| {r['pallas_fast_moves_per_s']:.3g} "
+              f"| {r['speedup']:.1f}x "
+              f"| {r.get('frac_of_roof', float('nan')):.2f} |")
 
 
 if __name__ == "__main__":

@@ -36,7 +36,11 @@ from flowstate_tpu.mcmc import (
     init_alternating_wells, init_chain_state, resync_energy, run_equilibration,
     run_moves,
 )
-from flowstate_tpu.mcmc.pallas_metropolis import run_moves_pallas
+import functools
+
+from flowstate_tpu.mcmc.pallas_metropolis import run_moves_pallas as _rmp
+
+run_moves_pallas = _rmp
 from flowstate_tpu.ops import Box, SystemSpec
 from flowstate_tpu.utils.profiling import enable_compilation_cache
 
@@ -62,7 +66,12 @@ def main(argv=None) -> dict:
     parser.add_argument("--chains", type=int, default=16384)
     parser.add_argument("--moves", type=int, default=4096)
     parser.add_argument("--out", default="PALLAS.md")
+    parser.add_argument("--fast_math", action="store_true",
+                        help="gate the rsqrt-based fast-math kernel variant "
+                             "(same statistics requirements)")
     args = parser.parse_args(argv)
+    global run_moves_pallas
+    run_moves_pallas = functools.partial(_rmp, fast_math=args.fast_math)
 
     try:
         enable_compilation_cache()
