@@ -53,34 +53,59 @@ def _sync(x):
     jax.device_get(x)   # tunnel-safe completion barrier (CLAUDE.md)
 
 
-def calibrate_vpu_ops(rows: int = 512, c_blk: int = 128,
-                      iters: int = 2048, k: int = 32) -> float:
-    """Empirical VPU elementwise roof: a Pallas kernel with the same loop
-    structure as the move kernel whose body is k alternating mul/add pairs
-    on one (rows, c_blk) fp32 tile.  Returns achieved elementwise ops/s
-    (each mul or add = 1 op)."""
+def calibrate_vpu_ops(iters: int = 65536, depth: int = 8,
+                      widths=(16, 32, 64, 128)) -> float:
+    """Empirical VPU elementwise roof: the fastest mul+add issue rate a
+    Pallas kernel can sustain on register-resident data.
+
+    Each accumulator is ONE (8, 128) fp32 tile — a single vector register
+    group — so the measurement is pure ALU issue rate, not VMEM traffic.
+    A single serial mul/add chain is pipeline-latency-bound and understates
+    the roof ~4-6x (measured: 4 chains on spilling (512,128) tiles gave
+    0.63 Tops/s, below the move kernel's own delivered model-op rate), so
+    independent chains are swept and the max over ILP widths is returned.
+    Returns elementwise ops/s counting each mul and each add as 1 op (an
+    FMA = 2), the same convention as OPS_PER_ROW_ELEM."""
     from jax.experimental import pallas as pl
 
-    def kernel(x_ref, o_ref):
-        def body(_, x):
-            for j in range(k):
-                x = x * 1.0000001
-                x = x + 1e-7
-            return x
-        o_ref[:, :] = jax.lax.fori_loop(0, iters, body, x_ref[:, :])
+    rows, c_blk = 8, 128
 
+    def make(n_acc):
+        def kernel(x_ref, o_ref):
+            def body(_, accs):
+                new = []
+                for i, a in enumerate(accs):
+                    for _ in range(depth):
+                        a = a * (1.0 + 1e-7 * (i + 1)) + 1e-7
+                    new.append(a)
+                return tuple(new)
+            x = x_ref[:, :]
+            accs = tuple(x + float(i) for i in range(n_acc))
+            accs = jax.lax.fori_loop(0, iters, body, accs)
+            out = accs[0]
+            for a in accs[1:]:
+                out = out + a
+            o_ref[:, :] = out
+        return jax.jit(pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, c_blk), jnp.float32)))
+
+    best = 0.0
     x = jnp.ones((rows, c_blk), jnp.float32)
-    f = jax.jit(pl.pallas_call(
-        kernel, out_shape=jax.ShapeDtypeStruct((rows, c_blk), jnp.float32)))
-    y = f(x)
-    _sync(y)
-    t0 = time.perf_counter()
-    reps = 4
-    for _ in range(reps):
-        y = f(y)
-    _sync(y)
-    dt = (time.perf_counter() - t0) / reps
-    return 2 * k * iters * rows * c_blk / dt
+    for n_acc in widths:
+        f = make(n_acc)
+        y = f(x)
+        _sync(y)
+        reps = 2
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = f(y)
+        _sync(y)
+        dt = (time.perf_counter() - t0) / reps
+        rate = 2 * n_acc * depth * iters * rows * c_blk / dt
+        print(json.dumps({"calibrate_n_acc": n_acc, "ops_per_s": rate}))
+        best = max(best, rate)
+    return best
 
 
 def time_engine(fn, state, repeats: int) -> float:
@@ -103,12 +128,15 @@ def main() -> None:
     ap.add_argument("--out",
                     default="results/evidence/n_scaling_data.json")
     ap.add_argument("--no_calibrate", action="store_true")
+    ap.add_argument("--calibrate_only", action="store_true")
     args = ap.parse_args()
 
     vpu_ops_per_s = None
     if not args.no_calibrate:
         vpu_ops_per_s = calibrate_vpu_ops()
         print(json.dumps({"vpu_ops_per_s": vpu_ops_per_s}))
+    if args.calibrate_only:
+        return
 
     rows = []
     for n in args.ns:
@@ -116,7 +144,11 @@ def main() -> None:
         pos, box = initialise_fcc(n, args.rho, 1.0)
         spec = SystemSpec.create(n, box, num_wells=0)
         n_rows = ((n + 7) // 8) * 8
-        chains = max(_pick_c_blk(n_rows), (49152 // n + 127) // 128 * 128)
+        # >= 4 chain blocks per grid: a 1-block grid (what 49152/n alone
+        # gives at N>=512) cannot pipeline VMEM copies against compute and
+        # was ~2x under the kernel's own per-row rate at N=512 (r3)
+        chains = max(4 * _pick_c_blk(n_rows),
+                     (49152 // n + 127) // 128 * 128)
         positions = jnp.broadcast_to(jnp.asarray(pos), (chains, n, 2))
         state = init_chain_state(spec, positions, jax.random.key(0))
         # brief equilibration off the lattice (uses the XLA engine)
@@ -148,12 +180,16 @@ def main() -> None:
             "pallas_fast_moves_per_s": total / t_fast,
             "speedup": t_xla / t_pal,
         }
+        best = max(row["pallas_moves_per_s"],
+                   row["pallas_fast_moves_per_s"])
+        # pair-rows swept per second: the N-independent measure of kernel
+        # efficiency (moves/s falls as 1/N because each move's energy is
+        # O(N) physics — row rate separates that from real inefficiency)
+        row["row_elems_per_s"] = n_rows * best
         if vpu_ops_per_s:
             # useful elementwise ops the kernel must issue per chain-move
             # (OPS_PER_ROW_ELEM x padded particle rows) vs the calibrated
             # elementwise roof of the same loop/tile structure
-            best = max(row["pallas_moves_per_s"],
-                       row["pallas_fast_moves_per_s"])
             row["frac_of_roof"] = (OPS_PER_ROW_ELEM * n_rows * best
                                    / vpu_ops_per_s)
         rows.append(row)
@@ -166,13 +202,14 @@ def main() -> None:
                    "rows": rows}, f, indent=1)
 
     print("\n| N | chains | XLA moves/s | Pallas moves/s | fast-math | "
-          "speedup | frac of VPU roof |")
-    print("|---|---|---|---|---|---|---|")
+          "speedup | rows/s | frac of VPU roof |")
+    print("|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['n']} | {r['chains']} | {r['xla_moves_per_s']:.3g} "
               f"| {r['pallas_moves_per_s']:.3g} "
               f"| {r['pallas_fast_moves_per_s']:.3g} "
               f"| {r['speedup']:.1f}x "
+              f"| {r['row_elems_per_s']:.3g} "
               f"| {r.get('frac_of_roof', float('nan')):.2f} |")
 
 
