@@ -112,6 +112,8 @@ def test_ess_check_tool_smoke(tmp_path):
     out = str(tmp_path / "ESS.md")
     result = ess_check.main(["--chains", "4", "--rounds", "24",
                              "--moves_per_round", "5", "--epochs", "1",
+                             "--exact_samples", "20000",
+                             "--exact_seeds", "2",
                              "--out", out])
     assert result["metric"] == "well_state_ess_per_s"
     # the headline is None when the dF self-consistency gate fails (it

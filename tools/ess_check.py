@@ -63,9 +63,9 @@ from flowstate_tpu.utils.profiling import enable_compilation_cache
 WELL_RADIUS = 1.1 * 1.2  # classification circles (hybrid utils.py:104-141)
 
 
-def exact_particle_df(samples: int = 500_000) -> float:
+def exact_particle_df(samples: int = 4_000_000, seeds: int = 4):
     """Exact PARTICLE-level ΔF = ln(E[n_B]/E[n_A]) from the sector
-    quadrature.
+    quadrature, with ITS OWN standard error.
 
     This tool's occupancy counts are per PARTICLE, and the equilibrium
     measure holds ~79% of its weight in particle-SPLIT sectors
@@ -75,13 +75,26 @@ def exact_particle_df(samples: int = 500_000) -> float:
     trained flow proposes split configurations, the hybrid chain reaches
     full equilibrium, and its particle-level ΔF is correct while looking
     "1.1 off" against the wrong constant.
+
+    The quadrature is itself Monte Carlo, so the "exact" constant has
+    sampling error — the single-500k-sample, seed-0 value this tool used
+    through round 3 (0.3947) sits at the high edge of the estimator's
+    distribution (measured: 500k-sample seed spread 0.392-0.396, std
+    0.0014; converged 4Mx4-seed value 0.3926 +- 0.0003) and at full-chip
+    chain counts (hybrid SEM ~0.003) that oracle error alone flipped the
+    2-sigma gate.  Returns (mean, sem) over independent seeds; the gate
+    must add sem in quadrature with the sampler's.
     """
     from exact_free_energy import exact_sector_probs
 
-    p = exact_sector_probs(samples)
-    n_b = p["AAB"] * 1 + p["ABB"] * 2 + p["BBB"] * 3
-    n_a = p["AAA"] * 3 + p["AAB"] * 2 + p["ABB"] * 1
-    return float(np.log(n_b / n_a))
+    vals = []
+    for seed in range(seeds):
+        p = exact_sector_probs(samples, seed=seed)
+        n_b = p["AAB"] * 1 + p["ABB"] * 2 + p["BBB"] * 3
+        n_a = p["AAA"] * 3 + p["AAB"] * 2 + p["ABB"] * 1
+        vals.append(float(np.log(n_b / n_a)))
+    return (float(np.mean(vals)),
+            float(np.std(vals, ddof=1) / np.sqrt(len(vals))))
 
 
 def well_counts(spec: SystemSpec, positions: jnp.ndarray):
@@ -120,6 +133,10 @@ def main(argv=None) -> dict:
                              "scale chain counts don't inflate training")
     parser.add_argument("--out", default="ESS.md")
     parser.add_argument("--json_out", default=None)
+    parser.add_argument("--exact_samples", type=int, default=4_000_000,
+                        help="quadrature samples per sector per seed for "
+                             "the exact-dF oracle")
+    parser.add_argument("--exact_seeds", type=int, default=4)
     args = parser.parse_args(argv)
 
     try:
@@ -233,12 +250,18 @@ def main(argv=None) -> dict:
     chain_b = np.maximum(cnt_b_arr.sum(axis=0), 1.0)
     chain_df = np.log(chain_b / chain_a)
     df_sem = float(np.std(chain_df, ddof=1) / np.sqrt(len(chain_df)))
-    exact_df = round(exact_particle_df(), 4)
-    df_ok = abs(df - exact_df) <= 2.0 * df_sem
+    exact_df, exact_sem = exact_particle_df(args.exact_samples,
+                                            args.exact_seeds)
+    exact_df = round(exact_df, 4)
+    # 2-sigma gate with BOTH uncertainties: the sampler's SEM and the
+    # quadrature oracle's own MC error, in quadrature
+    gate_tol = 2.0 * float(np.hypot(df_sem, exact_sem))
+    df_ok = abs(df - exact_df) <= gate_tol
     print(f"hybrid: {dt_h:.1f}s, acceptance {acceptance:.3f}, "
           f"ESS {ess_h:.1f} (per-chain Geyer sum {ess_h_geyer:.1f}), "
           f"dF {df:.3f} +- {df_sem:.3f} "
-          f"({'OK' if df_ok else 'FAILS 2-sigma gate'} vs {exact_df})",
+          f"({'OK' if df_ok else 'FAILS 2-sigma gate'} vs {exact_df} "
+          f"+- {exact_sem:.4f})",
           flush=True)
 
     ess_per_s_h = ess_h / dt_h
@@ -261,8 +284,8 @@ def main(argv=None) -> dict:
         "value": round(ess_per_s_h, 3) if df_ok else None,
         "unit": "ESS/s",
         "gated": None if df_ok else (
-            f"|dF - exact| = {abs(df - exact_df):.3f} > 2*SEM "
-            f"= {2 * df_sem:.3f}; headline withheld"),
+            f"|dF - exact| = {abs(df - exact_df):.3f} > 2*sigma "
+            f"= {gate_tol:.3f}; headline withheld"),
         "estimator": "rank-normalized split-chain multichain ESS",
         "hybrid_ess": round(ess_h, 1),
         "hybrid_ess_geyer_sum": round(ess_h_geyer, 1),
@@ -273,6 +296,7 @@ def main(argv=None) -> dict:
         "hybrid_delta_f": round(df, 4),
         "hybrid_delta_f_sem": round(df_sem, 4),
         "exact_delta_f": exact_df,
+        "exact_delta_f_sem": round(exact_sem, 5),
         # when plain MCMC records too few crossings its IAT (hence the
         # ratio) is unmeasurable — report null rather than a number that
         # divides by an unreliable estimate (ADVICE r1)
@@ -314,11 +338,12 @@ def main(argv=None) -> dict:
                 f"acceptance {acceptance:.3f}) |\n")
         f.write(f"| ΔF = ln(P_B/P_A), per-particle occupancy | "
                 f"{'n/a' if crossings == 0 else 'pinned at init split'} | "
-                f"{df:.3f} ± {df_sem:.3f} (exact {exact_df}) |\n\n")
+                f"{df:.3f} ± {df_sem:.3f} (exact {exact_df} ± "
+                f"{exact_sem:.4f}) |\n\n")
         if not df_ok:
             f.write(f"**HEADLINE WITHHELD**: measured ΔF differs from the "
-                    f"exact value by {abs(df - exact_df):.3f} > 2·SEM = "
-                    f"{2 * df_sem:.3f}. The chain has not equilibrated at "
+                    f"exact value by {abs(df - exact_df):.3f} > 2·σ = "
+                    f"{gate_tol:.3f}. The chain has not equilibrated at "
                     "this budget; the ESS numbers above are recorded for "
                     "diagnosis only and must not be quoted.\n\n")
         elif speedup is not None:
@@ -333,7 +358,8 @@ def main(argv=None) -> dict:
                     f"at {crossings} observed crossings where the "
                     "autocorrelation estimate itself is unmeasurable.\n\n")
         f.write(f"ΔF self-consistency gate: |ΔF − {exact_df}| = "
-                f"{abs(df - exact_df):.3f} vs 2·SEM = {2 * df_sem:.3f} → "
+                f"{abs(df - exact_df):.3f} vs 2·σ = {gate_tol:.3f} "
+                "(sampler SEM and quadrature-oracle SEM in quadrature) → "
                 f"{'PASS' if df_ok else 'FAIL'}.\n\n")
         f.write(f"Flow: K=15 circular RQ-spline, trained {args.epochs} "
                 f"epochs on the plain phase's {int(data.shape[0])} configs "

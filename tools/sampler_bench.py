@@ -256,7 +256,10 @@ def main(argv=None) -> dict:
         rows[-1]["train_wall_s"] = round(dt_train, 1)
         print(rows[-1], flush=True)
 
-    exact_df = round(exact_particle_df(), 4)
+    # seed-averaged oracle with its own MC error (ess_check.py docstring:
+    # the old single-500k-sample constant 0.3947 sat 1.5 sigma high)
+    exact_df, exact_df_sem = exact_particle_df()
+    exact_df = round(exact_df, 4)
     # rigorous speedup: hybrid measured ESS/s over the plain CROSSING-RATE
     # upper bound (not the unmeasurable autocorrelation estimate)
     by_name = {r0["sampler"].split(" ")[0]: r0 for r0 in rows}
@@ -268,6 +271,7 @@ def main(argv=None) -> dict:
             speedup_lb = round(hyb["well_ess_per_s"] / plain_ub, 1)
     result = {"metric": "sampler_bench", "rows": rows,
               "exact_df_particle": exact_df,
+              "exact_df_particle_sem": round(exact_df_sem, 5),
               "hybrid_vs_plain_ess_speedup_lower_bound": speedup_lb,
               "budget": f"{c} chains x {rounds} rounds x {mpr} moves",
               "device": str(jax.devices()[0])}
