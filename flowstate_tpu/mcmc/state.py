@@ -27,6 +27,34 @@ import jax.numpy as jnp
 from flowstate_tpu.ops.pair_energy import SystemSpec, total_energy_virial
 
 
+def batched_energy_virial(spec: SystemSpec, positions: jnp.ndarray,
+                          chunk_elems: int = 2 ** 28):
+    """Per-chain (energy, virial) for a (C, N, 2) batch, memory-safely.
+
+    A plain ``vmap`` materialises the C x N x N pair intermediates at
+    once — 16 GB of HBM at C=2048, N=1024, which exceeds a v5e chip
+    (observed: OOM in ``init_chain_state`` while benchmarking large-N
+    kernels).  When the pair tensor would exceed ``chunk_elems`` fp32
+    elements (default ~1 GB), the batch is processed in chain chunks via
+    ``lax.map`` (still one compiled program, still static shapes);
+    results match the full vmap to fp32 reduction-order noise.
+    """
+    c, n = positions.shape[0], positions.shape[1]
+    per_chain = max(n * n * 2, 1)  # fp32 elems in the pair diff tensor
+    chunk = max(1, min(c, chunk_elems // per_chain))
+    if chunk >= c:
+        return jax.vmap(lambda p: total_energy_virial(spec, p))(positions)
+    n_chunks = -(-c // chunk)
+    pad = n_chunks * chunk - c
+    if pad:
+        positions = jnp.concatenate(
+            [positions, jnp.broadcast_to(positions[-1:], (pad, n, 2))])
+    e, v = jax.lax.map(
+        lambda ps: jax.vmap(lambda p: total_energy_virial(spec, p))(ps),
+        positions.reshape(n_chunks, chunk, n, 2))
+    return e.reshape(-1)[:c], v.reshape(-1)[:c]
+
+
 class ChainState(NamedTuple):
     positions: jnp.ndarray   # (..., N, 2)
     energy: jnp.ndarray      # (...,)
@@ -53,7 +81,7 @@ def init_chain_state(spec: SystemSpec, positions: jnp.ndarray,
         positions = positions[None]
     c = positions.shape[0]
     keys = jax.random.split(key, c)
-    energy, virial = jax.vmap(lambda p: total_energy_virial(spec, p))(positions)
+    energy, virial = batched_energy_virial(spec, positions)
     zeros_i = jnp.zeros((c,), dtype=jnp.int32)
     state = ChainState(
         positions=positions.astype(jnp.float32),
@@ -76,8 +104,7 @@ def resync_energy(spec: SystemSpec, state: ChainState) -> ChainState:
     delta-update runs; the reference's analogue is the full recompute in
     ``nf_big_move``'s reject path, monte_carlo.py:301)."""
     if state.positions.ndim == 3:
-        energy, virial = jax.vmap(
-            lambda p: total_energy_virial(spec, p))(state.positions)
+        energy, virial = batched_energy_virial(spec, state.positions)
     else:
         energy, virial = total_energy_virial(spec, state.positions)
     return state._replace(energy=energy.astype(state.energy.dtype),

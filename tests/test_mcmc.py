@@ -73,6 +73,26 @@ def test_energy_bookkeeping_consistency():
     assert np.all(np.isfinite(np.asarray(state.energy)))
 
 
+def test_batched_energy_chunking_matches_vmap():
+    """batched_energy_virial's lax.map chunking (the large-C*N^2 OOM
+    guard) must reproduce the full vmap exactly."""
+    from flowstate_tpu.mcmc.state import batched_energy_virial
+
+    spec = _spec_n3()
+    pos, _ = init_alternating_wells(11, 3, 0.03)
+    pos = jnp.asarray(pos)
+    e_full, v_full = batched_energy_virial(spec, pos)          # vmap path
+    # chunk_elems small enough to force 3-chain chunks with padding
+    e_chunk, v_chunk = batched_energy_virial(spec, pos,
+                                             chunk_elems=3 * 3 * 3 * 2)
+    # not bitwise: XLA orders the pair reductions differently in the two
+    # program shapes; agreement is to float32 reduction-order noise
+    np.testing.assert_allclose(np.asarray(e_full), np.asarray(e_chunk),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_full), np.asarray(v_chunk),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_hard_core_never_violated():
     spec = _spec_n3()
     pos, _ = init_alternating_wells(8, 3, 0.03)
