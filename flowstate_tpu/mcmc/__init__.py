@@ -17,6 +17,11 @@ from flowstate_tpu.mcmc.initialise import (
     initialise_low_left,
     initialise_low_right,
 )
+from flowstate_tpu.mcmc.hmc import (
+    DEFAULT_NUM_LEAPFROG, HMC_TARGET_ACCEPTANCE, adjust_eps, hmc_move,
+    run_hmc, run_hmc_batch, run_hmc_equilibration,
+    run_hmc_equilibration_batch,
+)
 from flowstate_tpu.mcmc.mala import (
     MALA_TARGET_ACCEPTANCE, adjust_tau, mala_move, potential_gradient,
     run_mala, run_mala_batch, run_mala_equilibration,
@@ -69,6 +74,9 @@ __all__ = [
     "initialise_fcc_left_half", "initialise_fcc_right_half",
     "init_alternating_wells",
     "check_equilibration", "acceptance_fraction", "ensemble_acceptance",
+    "hmc_move", "run_hmc", "run_hmc_batch", "run_hmc_equilibration",
+    "run_hmc_equilibration_batch", "adjust_eps",
+    "HMC_TARGET_ACCEPTANCE", "DEFAULT_NUM_LEAPFROG",
     "temperature_ladder", "init_tempered_state", "run_tempered_moves",
     "swap_replicas", "swap_replicas_replica_sharded", "run_replica_exchange",
     "SwapResult", "ReplicaExchangeResult",

@@ -263,3 +263,26 @@ def test_sharded_mala_matches_single_device():
                                   np.asarray(ref.positions))
     np.testing.assert_array_equal(np.asarray(out.accepts),
                                   np.asarray(ref.accepts))
+
+
+def test_sharded_hmc_matches_single_device():
+    """HMC, like MALA, consumes per-chain keys carried in ChainState, so
+    the sharded run is bit-identical to the single-device run."""
+    from flowstate_tpu.mcmc import run_hmc_batch
+
+    spec = _spec()
+    mesh = make_chain_mesh(n_devices=4)
+    pos, _ = init_alternating_wells(8, 3, 0.03)
+    state = init_chain_state(spec, jnp.asarray(pos), jax.random.key(11), 0.02)
+
+    ref = run_hmc_batch(spec, 1.0, state, 15, num_leapfrog=5)
+
+    sharded_state = shard_chain_state(state, mesh)
+    fn = sharded_chain_fn(
+        lambda s: run_hmc_batch(spec, 1.0, s, 15, num_leapfrog=5), mesh)
+    out = jax.jit(fn)(sharded_state)
+
+    np.testing.assert_array_equal(np.asarray(out.positions),
+                                  np.asarray(ref.positions))
+    np.testing.assert_array_equal(np.asarray(out.accepts),
+                                  np.asarray(ref.accepts))

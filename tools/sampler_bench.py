@@ -1,21 +1,23 @@
 """Cross-sampler comparison on the LJ double well -> SAMPLERS.md.
 
 One system (the reference's full-scale N=3 double well), one budget shape
-(rounds x moves), four samplers:
+(rounds x moves), five samplers:
 
   1. plain Metropolis     (the reference's only sampler)
   2. MALA                 (beyond-reference: jax.grad Langevin drifts)
-  3. parallel tempering   (beyond-reference: replica exchange)
-  4. NF-hybrid            (the reference's Algorithm-1 recipe)
+  3. HMC                  (beyond-reference: multi-step leapfrog trajectories)
+  4. parallel tempering   (beyond-reference: replica exchange)
+  5. NF-hybrid            (the reference's Algorithm-1 recipe)
 
 For each: wall time (fully fused device programs — one scan per sampler),
 move acceptance, the SLOW observable's ESS (majority-in-B well state,
 rank-normalized multichain estimator), ESS/s, and the particle-level
 ΔF = ln(E[n_B]/E[n_A]) against the exact sector quadrature.  The point the
-table makes quantitatively: gradient information (MALA) does NOT help with
-10 k_BT barriers — only the collective mechanisms (PT, NF teleports) turn
-wall-clock into barrier crossings, and only they are allowed an ESS/s
-headline (pinned chains gate out, ess_check.py semantics).
+table makes quantitatively: gradient information (MALA, and even long
+HMC trajectories) does NOT help with 10 k_BT barriers — only the
+collective mechanisms (PT, NF teleports) turn wall-clock into barrier
+crossings, and only they are allowed an ESS/s headline (pinned chains
+gate out, ess_check.py semantics).
 
 Usage (real TPU): python tools/sampler_bench.py
 """
@@ -114,7 +116,7 @@ def main(argv=None) -> dict:
                     help="subsample training configs to the reference A1 "
                          "budget (main_algorithm_1.py:57) so bench-scale "
                          "chain counts do not inflate the training phase")
-    ap.add_argument("--samplers", default="plain,mala,pt,hybrid",
+    ap.add_argument("--samplers", default="plain,mala,hmc,pt,hybrid",
                     help="comma list; e.g. 'plain,hybrid' for the "
                          "full-chip ESS headline run")
     ap.add_argument("--json_out", default=None,
@@ -178,7 +180,31 @@ def main(argv=None) -> dict:
                              (n_a[burn:].sum(), n_b[burn:].sum()), dt, acc))
         print(rows[-1], flush=True)
 
-    # ---- 3) parallel tempering ------------------------------------------
+    # ---- 3) HMC ----------------------------------------------------------
+    if "hmc" in which:
+        from flowstate_tpu.mcmc import run_hmc, run_hmc_equilibration
+        n_leap = 10
+        hmc0 = jax.jit(jax.vmap(lambda s: run_hmc_equilibration(
+            spec, beta, s, 500, 50, n_leap)))(state0._replace(
+                max_disp=jnp.full_like(state0.max_disp, 0.05)))
+        jax.device_get(hmc0.positions)
+        # budget matched in GRADIENT evaluations, not trajectories: one
+        # n_leap-step trajectory costs n_leap+1 grads, so run mpr/n_leap
+        # trajectories per round (same O(N^2)-pass count as the MALA row)
+        traj = max(1, mpr // n_leap)
+        hmc = scan_rounds(jax.vmap(
+            lambda t: run_hmc(spec, beta, t, traj, n_leap)))
+        (s_end, w, n_a, n_b), dt = _timed(hmc, hmc0)
+        acc = (s_end.accepts - hmc0.accepts).sum() / (
+            s_end.attempts - hmc0.attempts).sum()
+        rows.append(_summary(f"HMC ({n_leap}-step leapfrog)",
+                             np.asarray(w).T,
+                             (n_a[burn:].sum(), n_b[burn:].sum()), dt, acc))
+        rows[-1]["note"] = (f"{traj} trajectories/round = same gradient "
+                            "budget as the MALA row")
+        print(rows[-1], flush=True)
+
+    # ---- 4) parallel tempering ------------------------------------------
     r = args.replicas
     if "pt" in which:
         walkers = c // r
@@ -206,7 +232,7 @@ def main(argv=None) -> dict:
         rows[-1]["note"] = "acceptance = mean edge-swap rate"
         print(rows[-1], flush=True)
 
-    # ---- 4) NF-hybrid ----------------------------------------------------
+    # ---- 5) NF-hybrid ----------------------------------------------------
     dt_train = 0.0
     if "hybrid" in which:
         # flow trained on plain-phase production configs (A1 recipe)
@@ -277,7 +303,7 @@ def main(argv=None) -> dict:
               "device": str(jax.devices()[0])}
 
     with open(args.out, "w") as f:
-        f.write("# SAMPLERS — four samplers, one system, one budget\n\n")
+        f.write("# SAMPLERS — five samplers, one system, one budget\n\n")
         f.write(f"System: the reference full-scale N=3 double well "
                 f"(V0 = -10/-10.5, ~10 k_BT barriers); budget "
                 f"{c} chains x {rounds} rounds x {mpr} moves/round on "
@@ -313,9 +339,10 @@ def main(argv=None) -> dict:
                     "numerator is measured, the denominator is an upper "
                     "bound).\n")
         f.write(
-            "\nReading the table: plain Metropolis and MALA stay pinned at "
-            "their initialization split — gradient drifts do not cross "
-            "10 k_BT barriers, so their dF is the init artifact and their "
+            "\nReading the table: plain Metropolis, MALA and HMC stay "
+            "pinned at their initialization split — neither Langevin "
+            "drifts nor long leapfrog trajectories cross 10 k_BT barriers, "
+            "so their dF is the init artifact and their "
             "ESS is bounded by the (near-zero) crossing rate.  "
             "Parallel tempering and the NF-hybrid both reach equilibrium; "
             "their dF agrees with the exact quadrature and their ESS/s is "
