@@ -18,6 +18,7 @@ import argparse
 import os
 from typing import Dict
 
+import jax.numpy as jnp
 import numpy as np
 
 from flowstate_tpu.analysis.plots import (
@@ -32,7 +33,10 @@ from flowstate_tpu.experiments.common import (
     build_system, dump_run_artifacts, init_and_equilibrate, plot_wells,
     sector_counts, setup_experiment, write_evidence,
 )
-from flowstate_tpu.mcmc import run_production_batch
+from flowstate_tpu.mcmc import (
+    run_hmc, run_hmc_equilibration_batch, run_mala,
+    run_mala_equilibration_batch, run_moves, run_production_with_batch,
+)
 from flowstate_tpu.utils.config import ExperimentConfig, mcmc_only_config
 
 
@@ -47,14 +51,43 @@ def run(config: ExperimentConfig,
     metrics.log("equilibrated", chains=config.num_chains,
                 steps=config.equilibration_steps)
 
+    # beyond-reference move kernels need their own step-size scale: the
+    # Metropolis displacement is not a Langevin/leapfrog eps, so re-adapt
+    # from the sampler_bench.py starting points before production.
+    if config.sampler == "mala":
+        state = run_mala_equilibration_batch(
+            spec, config.beta,
+            state._replace(max_disp=jnp.full_like(state.max_disp, 0.02)),
+            1000, 100)
+        metrics.log("mala_adapted", eps_mean=float(state.max_disp.mean()))
+    elif config.sampler == "hmc":
+        state = run_hmc_equilibration_batch(
+            spec, config.beta,
+            state._replace(max_disp=jnp.full_like(state.max_disp, 0.05)),
+            500, 50, config.num_leapfrog)
+        metrics.log("hmc_adapted", eps_mean=float(state.max_disp.mean()))
+    elif config.sampler != "metropolis":
+        raise ValueError(f"unknown sampler {config.sampler!r}")
+
     # production: total budget split over chains (int division fixes the
     # reference's float range() bug)
     steps_per_chain = int(total_production_steps) // config.num_chains
     num_samples = steps_per_chain // config.sampling_frequency
-    logger.info("production: %d steps/chain -> %d samples/chain",
-                steps_per_chain, num_samples)
-    state, obs = run_production_batch(spec, config.beta, state,
-                                      num_samples, config.sampling_frequency)
+    logger.info("production: %d steps/chain -> %d samples/chain (%s)",
+                steps_per_chain, num_samples, config.sampler)
+    if config.sampler == "mala":
+        move_fn = lambda s, n: run_mala(spec, config.beta, s, n)  # noqa: E731
+    elif config.sampler == "hmc":
+        # gradient-evaluation budget: n local moves -> n/num_leapfrog
+        # trajectories (each costs num_leapfrog+1 grads; SAMPLERS.md)
+        move_fn = lambda s, n: run_hmc(  # noqa: E731
+            spec, config.beta, s, max(1, n // config.num_leapfrog),
+            config.num_leapfrog)
+    else:
+        move_fn = lambda s, n: run_moves(spec, config.beta, s, n)  # noqa: E731
+    state, obs = run_production_with_batch(spec, config.beta, state,
+                                           num_samples,
+                                           config.sampling_frequency, move_fn)
     configs = np.asarray(obs.positions)  # (C, T, N, 2)
     metrics.log("production_done", steps_per_chain=steps_per_chain,
                 samples_per_chain=num_samples)
@@ -88,6 +121,7 @@ def run(config: ExperimentConfig,
 
     write_evidence(config, {
         "driver": "mcmc_only",
+        "sampler": config.sampler,
         "total_production_steps": int(total_production_steps),
         "samples_per_chain": num_samples,
         "delta_f_mean": final_mean, "delta_f_sem": final_sem,
@@ -108,10 +142,17 @@ def main() -> None:
     parser.add_argument("--num_chains", type=int, default=100)
     parser.add_argument("--total_steps", type=int, default=10_000_000)
     parser.add_argument("--output_dir", type=str, default="results")
+    parser.add_argument("--sampler", type=str, default="metropolis",
+                        choices=("metropolis", "mala", "hmc"),
+                        help="production move kernel (mala/hmc are "
+                             "beyond-reference gradient samplers)")
+    parser.add_argument("--num_leapfrog", type=int, default=10)
     args = parser.parse_args()
     config = mcmc_only_config(experiment_id=args.experiment_id,
                               num_chains=args.num_chains,
-                              output_dir=args.output_dir)
+                              output_dir=args.output_dir,
+                              sampler=args.sampler,
+                              num_leapfrog=args.num_leapfrog)
     run(config, total_production_steps=args.total_steps)
 
 

@@ -37,6 +37,8 @@ from flowstate_tpu.mcmc.metropolis import (
     run_moves_batch,
     run_production,
     run_production_batch,
+    run_production_with,
+    run_production_with_batch,
     sample_observables,
 )
 from flowstate_tpu.mcmc.observables import (
@@ -63,6 +65,7 @@ __all__ = [
     "ChainState", "init_chain_state", "resync_energy",
     "metropolis_move", "run_moves", "run_moves_batch",
     "run_production", "run_production_batch",
+    "run_production_with", "run_production_with_batch",
     "run_equilibration", "run_equilibration_batch",
     "adjust_displacement", "sample_observables", "Observables",
     "nf_big_moves", "apply_big_moves", "judge_flow", "bulk_judge_flow",

@@ -212,6 +212,27 @@ def run_production(spec: SystemSpec, beta: float, state: ChainState,
     return jax.lax.scan(block, state, jnp.arange(num_samples))
 
 
+def run_production_with(spec: SystemSpec, beta: float, state: ChainState,
+                        num_samples: int, sampling_frequency: int, move_fn,
+                        start_cycle: int = 0) -> Tuple[ChainState, Observables]:
+    """``run_production`` with a pluggable per-block move kernel.
+
+    ``move_fn(state, num_moves) -> state`` advances one chain by one
+    sampling block; passing ``run_moves``/``run_mala``/``run_hmc``
+    partials yields the same observable stream from any sampler (the
+    reference's production loop, main.py:168-177, is Metropolis-only —
+    the drift/trajectory samplers are beyond-reference capability).
+    """
+
+    def block(carry, i):
+        s = move_fn(carry, sampling_frequency)
+        obs = sample_observables(spec, beta, s,
+                                 start_cycle + (i + 1) * sampling_frequency)
+        return s, obs
+
+    return jax.lax.scan(block, state, jnp.arange(num_samples))
+
+
 def run_equilibration(spec: SystemSpec, beta: float, state: ChainState,
                       num_steps: int, adjusting_frequency: int,
                       target_acceptance: float = 0.5) -> ChainState:
@@ -263,3 +284,12 @@ def run_production_batch(spec, beta, state, num_samples, sampling_frequency,
 
 def run_moves_batch(spec, beta, state, num_moves):
     return jax.vmap(lambda s: run_moves(spec, beta, s, num_moves))(state)
+
+
+def run_production_with_batch(spec, beta, state, num_samples,
+                              sampling_frequency, move_fn,
+                              start_cycle: int = 0):
+    """Batched ``run_production_with``: observables leaves (C, T, ...)."""
+    return jax.vmap(lambda s: run_production_with(
+        spec, beta, s, num_samples, sampling_frequency, move_fn,
+        start_cycle))(state)

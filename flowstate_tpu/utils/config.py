@@ -40,6 +40,13 @@ class ExperimentConfig:
     sampling_frequency: int = 150
     adjusting_frequency: int = 5000
     target_acceptance: float = 0.5
+    # production move kernel: "metropolis" (the reference's only sampler,
+    # main_mcmc_only.py) or the beyond-reference gradient samplers
+    # "mala" / "hmc" (mcmc/mala.py, mcmc/hmc.py).  HMC trajectories are
+    # budgeted in gradient evaluations: sampling_frequency/num_leapfrog
+    # trajectories per sample block (SAMPLERS.md convention).
+    sampler: str = "metropolis"
+    num_leapfrog: int = 10
 
     # flow architecture
     K: int = 15

@@ -42,6 +42,39 @@ def test_mcmc_only_smoke(tmp_path):
     assert "sector_counts" in ev and "delta_f_mean" in ev
 
 
+@pytest.mark.parametrize("sampler", ["mala", "hmc"])
+def test_mcmc_only_sampler_variants(tmp_path, sampler):
+    """--sampler mala/hmc runs the same driver with the gradient kernels
+    (beyond-reference; budget convention of SAMPLERS.md)."""
+    from flowstate_tpu.experiments import mcmc_only
+    config = mcmc_only_config(
+        experiment_id=f"smoke_{sampler}", output_dir=str(tmp_path),
+        num_chains=2, equilibration_steps=200, adjusting_frequency=100,
+        sampling_frequency=10, sampler=sampler, num_leapfrog=5)
+    results = mcmc_only.run(config, total_production_steps=2000)
+    assert results["samples_per_chain"] == 100
+    d = results["directory"]
+    configs = np.load(os.path.join(d, "mc_runs", "run_001",
+                                   "mc_run_configs.npy"))
+    assert configs.shape == (100, 3, 2)
+    assert np.all(configs >= 0) and np.all(configs <= 10.0)
+    assert np.all(np.isfinite(configs))
+    import json
+    ev = json.load(open(os.path.join(str(tmp_path), "evidence",
+                                     f"smoke_{sampler}_data.json")))
+    assert ev["sampler"] == sampler
+
+
+def test_mcmc_only_unknown_sampler(tmp_path):
+    from flowstate_tpu.experiments import mcmc_only
+    config = mcmc_only_config(
+        experiment_id="bad_sampler", output_dir=str(tmp_path), num_chains=2,
+        equilibration_steps=100, adjusting_frequency=50,
+        sampling_frequency=10, sampler="nuts")
+    with pytest.raises(ValueError, match="unknown sampler"):
+        mcmc_only.run(config, total_production_steps=200)
+
+
 def test_algorithm1_smoke(tmp_path):
     from flowstate_tpu.experiments import algorithm1
     config = algorithm1_config(
