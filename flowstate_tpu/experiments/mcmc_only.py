@@ -43,6 +43,13 @@ from flowstate_tpu.utils.config import ExperimentConfig, mcmc_only_config
 def run(config: ExperimentConfig,
         total_production_steps: int = 10_000_000) -> Dict:
     """Run the baseline experiment; returns a results summary dict."""
+    # validate up front: failing after setup_experiment + a long TPU
+    # equilibration would waste the run and leave an orphaned output dir
+    if config.sampler not in ("metropolis", "mala", "hmc"):
+        raise ValueError(f"unknown sampler {config.sampler!r}")
+    if config.sampler == "hmc" and config.num_leapfrog < 1:
+        raise ValueError(
+            f"num_leapfrog must be >= 1, got {config.num_leapfrog}")
     directory, logger, metrics = setup_experiment(config)
     spec = build_system(config)
     plot_wells(config, spec, directory)
@@ -54,20 +61,22 @@ def run(config: ExperimentConfig,
     # beyond-reference move kernels need their own step-size scale: the
     # Metropolis displacement is not a Langevin/leapfrog eps, so re-adapt
     # from the sampler_bench.py starting points before production.
+    if config.sampler in ("mala", "hmc"):
+        # kernel swap: reset the step size AND the adaptation baseline —
+        # leftover Metropolis attempts/accepts since the last adjust would
+        # otherwise skew the first tau/eps adaptation block
+        swap_disp = 0.02 if config.sampler == "mala" else 0.05
+        state = state._replace(
+            max_disp=jnp.full_like(state.max_disp, swap_disp),
+            prev_attempts=state.attempts, prev_accepts=state.accepts)
     if config.sampler == "mala":
-        state = run_mala_equilibration_batch(
-            spec, config.beta,
-            state._replace(max_disp=jnp.full_like(state.max_disp, 0.02)),
-            1000, 100)
+        state = run_mala_equilibration_batch(spec, config.beta, state,
+                                             1000, 100)
         metrics.log("mala_adapted", eps_mean=float(state.max_disp.mean()))
     elif config.sampler == "hmc":
-        state = run_hmc_equilibration_batch(
-            spec, config.beta,
-            state._replace(max_disp=jnp.full_like(state.max_disp, 0.05)),
-            500, 50, config.num_leapfrog)
+        state = run_hmc_equilibration_batch(spec, config.beta, state,
+                                            500, 50, config.num_leapfrog)
         metrics.log("hmc_adapted", eps_mean=float(state.max_disp.mean()))
-    elif config.sampler != "metropolis":
-        raise ValueError(f"unknown sampler {config.sampler!r}")
 
     # production: total budget split over chains (int division fixes the
     # reference's float range() bug)
@@ -85,12 +94,18 @@ def run(config: ExperimentConfig,
             config.num_leapfrog)
     else:
         move_fn = lambda s, n: run_moves(spec, config.beta, s, n)  # noqa: E731
+    att0 = int(jnp.sum(state.attempts))
+    acc0 = int(jnp.sum(state.accepts))
     state, obs = run_production_with_batch(spec, config.beta, state,
                                            num_samples,
                                            config.sampling_frequency, move_fn)
     configs = np.asarray(obs.positions)  # (C, T, N, 2)
+    prod_att = int(jnp.sum(state.attempts)) - att0
+    prod_acceptance = ((int(jnp.sum(state.accepts)) - acc0) / prod_att
+                       if prod_att else float("nan"))
     metrics.log("production_done", steps_per_chain=steps_per_chain,
-                samples_per_chain=num_samples)
+                samples_per_chain=num_samples,
+                production_acceptance=prod_acceptance)
 
     # per-run well statistics + ΔF
     free_energy_array = []
@@ -128,12 +143,14 @@ def run(config: ExperimentConfig,
         "delta_f_std": final_std,
         "delta_f_per_chain_final": [float(f[-1]) if len(f) else None
                                     for f in free_energy_array],
+        "production_acceptance": prod_acceptance,
         "sector_counts": sector_counts(configs, config.half_box, config.r0),
     })
 
     return {"delta_f_mean": final_mean, "delta_f_sem": final_sem,
             "delta_f_std": final_std, "directory": directory,
-            "samples_per_chain": num_samples}
+            "samples_per_chain": num_samples,
+            "production_acceptance": prod_acceptance}
 
 
 def main() -> None:

@@ -63,6 +63,15 @@ def test_mcmc_only_sampler_variants(tmp_path, sampler):
     ev = json.load(open(os.path.join(str(tmp_path), "evidence",
                                      f"smoke_{sampler}_data.json")))
     assert ev["sampler"] == sampler
+    # statistical gate: post-re-adaptation production acceptance must land
+    # in a band around the sampler's adaptation target (MALA 0.574, HMC
+    # 0.65) — a run pinned at 0 or 1 means the eps re-adaptation after the
+    # Metropolis->gradient-kernel swap failed (VERDICT r3 item 7)
+    target = {"mala": 0.574, "hmc": 0.65}[sampler]
+    assert ev["production_acceptance"] == results["production_acceptance"]
+    assert abs(results["production_acceptance"] - target) < 0.25, (
+        f"{sampler} production acceptance "
+        f"{results['production_acceptance']:.3f} outside target band")
 
 
 def test_mcmc_only_unknown_sampler(tmp_path):

@@ -200,8 +200,11 @@ def main(argv=None) -> dict:
         rows.append(_summary(f"HMC ({n_leap}-step leapfrog)",
                              np.asarray(w).T,
                              (n_a[burn:].sum(), n_b[burn:].sum()), dt, acc))
-        rows[-1]["note"] = (f"{traj} trajectories/round = same gradient "
-                            "budget as the MALA row")
+        rows[-1]["note"] = (
+            f"{traj} trajectories/round x {n_leap + 1} grads = "
+            f"{traj * (n_leap + 1)} grad evals/round vs MALA's "
+            f"{2 * mpr} (2/move, uncached) — comparable, not "
+            "strictly matched")
         print(rows[-1], flush=True)
 
     # ---- 4) parallel tempering ------------------------------------------
@@ -323,6 +326,20 @@ def main(argv=None) -> dict:
                     f"| {row['acceptance']} | {row['crossings']} "
                     f"| {row['well_ess']} | {ess_s} "
                     f"| {row.get('df_particle', '—')} |\n")
+        n_leap_doc = 10
+        f.write(
+            "\nBudget accounting: the three local samplers run "
+            f"{rounds}x{mpr} = {rounds * mpr:,} moves/chain.  Per move, "
+            "plain Metropolis costs 1 per-particle energy (no gradients); "
+            "MALA costs 2 full-system gradient evaluations (drift at x and "
+            "at the proposal y, no caching across moves); HMC runs "
+            f"{rounds * mpr}/{n_leap_doc} = {rounds * mpr // n_leap_doc:,} "
+            f"trajectories of L={n_leap_doc} leapfrog steps, i.e. "
+            f"{n_leap_doc + 1} gradient evaluations per trajectory = "
+            f"{rounds * (mpr // n_leap_doc) * (n_leap_doc + 1):,} "
+            f"grads/chain vs MALA's {rounds * mpr * 2:,} — comparable but "
+            "not strictly matched gradient budgets (the rows are matched "
+            "in *moves*, not grads).\n")
         f.write(
             "\nSamplers with <20 observed crossings — or whose rank-"
             "normalized estimate exceeds what their crossing count can "
@@ -348,10 +365,18 @@ def main(argv=None) -> dict:
             "their dF agrees with the exact quadrature and their ESS/s is "
             "the defensible headline.  The NF-hybrid pays a one-time "
             f"training cost ({dt_train:.1f} s here) amortized "
-            "over every subsequent round.  MALA's role in the framework is "
-            "within-well decorrelation (whole-configuration updates), not "
-            "barrier crossing; tools/ess_check.py remains the "
-            "plain-vs-hybrid capability artifact.\n")
+            "over every subsequent round.  The gradient samplers' actual "
+            "job — within-well decorrelation — is MEASURED in the section "
+            "below (tools/within_well_bench.py); tools/ess_check.py "
+            "remains the plain-vs-hybrid capability artifact.\n")
+
+    # re-splice the measured within-well section (separate tool's output)
+    try:
+        from within_well_bench import splice_into_samplers_md
+        ww = json.load(open("results/evidence/within_well.json"))
+        splice_into_samplers_md(ww, args.out)
+    except (FileNotFoundError, ImportError):
+        pass
 
     if args.json_out:
         os.makedirs(os.path.dirname(args.json_out) or ".", exist_ok=True)
