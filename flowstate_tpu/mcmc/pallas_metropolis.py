@@ -68,6 +68,28 @@ def _pick_c_blk(rows: int) -> int:
     return C_BLK if rows <= 32 else 128
 
 
+def _pick_sweep_chunk(rows: int) -> int:
+    """Row-chunk size for the fused old+new energy sweep (0 = single shot).
+
+    Measured rule (v5e, tools/retile_probe.py, 2026-08-20, evidence in
+    results/evidence/retile_probe.json): for deep particle tiles the
+    fused chunked sweep lifts the kernel from ~62% to 85-91% of the
+    calibrated VPU roof (N=512: 51.5 -> 71.4 Mmoves/s at chunk=128;
+    N=1024: 26.1 -> 37.0 M at chunk=128, 37.6 M best at chunk=64 with
+    256 lanes) — the separate sweeps' (rows, c_blk) temporaries
+    serialize scheduling, chunking bounds the live set and interleaves
+    two independent chains per chunk.  Shallow tiles (rows <= 32) are
+    fastest single-shot; chunks of 32-128 rows are within ~4% of each
+    other, so take the largest power-of-two divisor <= 128.
+    """
+    if rows <= 32:
+        return 0
+    for c in (128, 64, 32):
+        if rows % c == 0 and rows > c:
+            return c
+    return 0
+
+
 HARD_CORE_E = 1e30  # finite stand-in for +inf inside the kernel
 
 
@@ -85,7 +107,7 @@ def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
                  px_out, py_out, e_out, acc_out, *,
                  spec: SystemSpec, beta: float, num_moves: int,
                  rows: int = ROWS, c_blk: int = C_BLK,
-                 fast_math: bool = False):
+                 fast_math: bool = False, sweep_chunk: int = 0):
     """One chain block: ``num_moves`` sequential Metropolis updates."""
     ROWS = rows  # particle-axis tile height (multiple of 8)
     C_BLK = c_blk  # chains per program (lanes)
@@ -152,6 +174,54 @@ def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
         e = jnp.where(overlap, HARD_CORE_E, e)
         return e + well_energy(x0, y0)
 
+    def both_energies(px, py, x0, y0, x1, y1, others):
+        """Fused OLD+NEW energy sweep, chunked over the particle axis.
+
+        Re-tiling experiment for the deep-tile (rows >= 64) regime
+        (VERDICT r3 item 4): the separate old/new sweeps each materialize
+        ~6 live (rows, C_BLK) fp32 temporaries — 3 MB per sweep at
+        rows = 1024 — whose live ranges serialize scheduling.  Here both
+        sweeps share each ``sweep_chunk``-row slice of (px, py) and run as
+        two independent dependency chains per chunk, so the VPU pipeline
+        interleaves them and the peak working set is
+        O(sweep_chunk x C_BLK), not O(rows x C_BLK).  Returns
+        (e_old, e_new), each (1, C_BLK) including the well term.
+        """
+        chunk = sweep_chunk
+        e_o = jnp.zeros((1, C_BLK), jnp.float32)
+        e_n = jnp.zeros((1, C_BLK), jnp.float32)
+        ov_o = jnp.zeros((1, C_BLK), jnp.bool_)
+        ov_n = jnp.zeros((1, C_BLK), jnp.bool_)
+        for ci in range(rows // chunk):
+            sl = slice(ci * chunk, (ci + 1) * chunk)
+            pxc, pyc, oth = px[sl], py[sl], others[sl]
+
+            def chunk_energy(xs, ys):
+                dx = xs - pxc
+                dy = ys - pyc
+                dx = dx - lx * jnp.round(dx * inv_lx)
+                dy = dy - ly * jnp.round(dy * inv_ly)
+                r2 = dx * dx + dy * dy
+                r2_safe = jnp.maximum(r2, 1e-12)
+                if fast_math:
+                    inv_r = jax.lax.rsqrt(r2_safe)
+                    sr6 = (spec.sigma**2 * (inv_r * inv_r)) ** 3
+                else:
+                    sr6 = (spec.sigma**2 / r2_safe) ** 3
+                e_pair = 4.0 * spec.epsilon * (sr6 * sr6 - sr6) - shift
+                e = jnp.sum(jnp.where(oth & (r2 <= r_cut2), e_pair, 0.0),
+                            axis=0, keepdims=True)
+                ov = jnp.any(oth & (r2 < hc2), axis=0, keepdims=True)
+                return e, ov
+
+            eo_c, ovo_c = chunk_energy(x0, y0)
+            en_c, ovn_c = chunk_energy(x1, y1)
+            e_o, ov_o = e_o + eo_c, ov_o | ovo_c
+            e_n, ov_n = e_n + en_c, ov_n | ovn_c
+        e_o = jnp.where(ov_o, HARD_CORE_E, e_o) + well_energy(x0, y0)
+        e_n = jnp.where(ov_n, HARD_CORE_E, e_n) + well_energy(x1, y1)
+        return e_o, e_n
+
     def body(i, carry):
         px, py, e, acc = carry
         bits = pltpu.bitcast(pltpu.prng_random_bits((ROWS, C_BLK)),
@@ -166,15 +236,17 @@ def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
         x0 = jnp.sum(jnp.where(p_sel, px, 0.0), axis=0, keepdims=True)
         y0 = jnp.sum(jnp.where(p_sel, py, 0.0), axis=0, keepdims=True)
 
-        e_old = particle_energy(px, py, x0, y0, others)
-
         md = md_ref[0:1, :]
         x1 = x0 + (u1 - 0.5) * md
         y1 = y0 + (u2 - 0.5) * md
         x1 = x1 - lx * jnp.floor(x1 * inv_lx)   # wrap into [0, L)
         y1 = y1 - ly * jnp.floor(y1 * inv_ly)
 
-        e_new = particle_energy(px, py, x1, y1, others)
+        if sweep_chunk and rows % sweep_chunk == 0 and rows > sweep_chunk:
+            e_old, e_new = both_energies(px, py, x0, y0, x1, y1, others)
+        else:
+            e_old = particle_energy(px, py, x0, y0, others)
+            e_new = particle_energy(px, py, x1, y1, others)
 
         de = e_new - e_old
         accept = (de <= 0.0) | (ua < jnp.exp(-beta * de))   # (1, C_BLK)
@@ -201,7 +273,9 @@ def _move_kernel(seed_ref, px_ref, py_ref, e_ref, md_ref, acc_ref,
 def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
                      num_moves: int, seed=None,
                      interpret: bool = False,
-                     fast_math: bool = False) -> ChainState:
+                     fast_math: bool = False,
+                     sweep_chunk: int = -1,
+                     c_blk_override: int = 0) -> ChainState:
     """Advance a batched ChainState by ``num_moves`` with the on-chip kernel.
 
     Any chain count is accepted (the batch is padded on-device to the next
@@ -223,7 +297,9 @@ def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
             f"pallas move kernel supports up to {MAX_PARTICLES} particles "
             f"(got {n}); use run_moves_auto for automatic dispatch")
     rows = ((n + ROWS - 1) // ROWS) * ROWS
-    c_blk = _pick_c_blk(rows)
+    c_blk = c_blk_override or _pick_c_blk(rows)
+    if sweep_chunk < 0:  # -1 = auto (measured rule); 0 forces single-shot
+        sweep_chunk = _pick_sweep_chunk(rows)
 
     # pad the chain axis to a c_blk multiple (edge-replicated padding:
     # padded chains run real physics on copies and are discarded)
@@ -276,7 +352,7 @@ def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
     px_o, py_o, e_o, acc_o = pl.pallas_call(
         functools.partial(_move_kernel, spec=spec, beta=beta,
                           num_moves=num_moves, rows=rows, c_blk=c_blk,
-                          fast_math=fast_math),
+                          fast_math=fast_math, sweep_chunk=sweep_chunk),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((blocks * rows, c_blk), jnp.float32)
                    for _ in range(4)],

@@ -219,3 +219,59 @@ def test_fast_math_large_n():
     np.testing.assert_allclose(np.asarray(out.energy),
                                np.asarray(res.energy),
                                rtol=1e-5, atol=1e-3)
+
+
+def test_sweep_chunk_matches_single_shot():
+    """The fused chunked old+new sweep (sweep_chunk, the deep-tile
+    re-tiling experiment) must produce the SAME trajectory as the
+    single-shot sweeps: same RNG draws in the same order, identical
+    accept decisions, energies to fp32 reduction-order noise."""
+    from flowstate_tpu.mcmc.initialise import initialise_fcc
+
+    n = 72  # rows = 72 -> chunks of 24 rows exercise 3 iterations
+    pos, box = initialise_fcc(n, 0.3, 1.0)
+    spec = SystemSpec.create(n, box, num_wells=0)
+    state = init_chain_state(
+        spec, jnp.broadcast_to(jnp.asarray(pos), (3, n, 2)),
+        jax.random.key(0), 0.3)
+    base = run_moves_pallas(spec, 1.0, state, 16, seed=7, interpret=True,
+                            sweep_chunk=0)
+    chunked = run_moves_pallas(spec, 1.0, state, 16, seed=7, interpret=True,
+                               sweep_chunk=24)
+    np.testing.assert_array_equal(np.asarray(chunked.accepts),
+                                  np.asarray(base.accepts))
+    np.testing.assert_allclose(np.asarray(chunked.positions),
+                               np.asarray(base.positions), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(chunked.energy),
+                               np.asarray(base.energy), rtol=1e-5, atol=1e-3)
+    # cached energy equals a full recompute
+    res = resync_energy(spec, chunked)
+    np.testing.assert_allclose(np.asarray(chunked.energy),
+                               np.asarray(res.energy), rtol=1e-5, atol=1e-3)
+
+
+def test_sweep_chunk_auto_default():
+    """The auto rule (sweep_chunk=-1, the default) picks the fused sweep
+    for deep tiles and matches the forced single-shot trajectory."""
+    from flowstate_tpu.mcmc.initialise import initialise_fcc
+    from flowstate_tpu.mcmc.pallas_metropolis import _pick_sweep_chunk
+
+    assert _pick_sweep_chunk(8) == 0 and _pick_sweep_chunk(32) == 0
+    assert _pick_sweep_chunk(128) == 64
+    assert _pick_sweep_chunk(512) == 128
+    assert _pick_sweep_chunk(1024) == 128
+    assert _pick_sweep_chunk(72) == 0  # no pow2 divisor <= 128 under rows
+
+    n = 128
+    pos, box = initialise_fcc(n, 0.3, 1.0)
+    spec = SystemSpec.create(n, box, num_wells=0)
+    state = init_chain_state(
+        spec, jnp.broadcast_to(jnp.asarray(pos), (2, n, 2)),
+        jax.random.key(0), 0.3)
+    auto = run_moves_pallas(spec, 1.0, state, 8, seed=11, interpret=True)
+    single = run_moves_pallas(spec, 1.0, state, 8, seed=11, interpret=True,
+                              sweep_chunk=0)
+    np.testing.assert_array_equal(np.asarray(auto.accepts),
+                                  np.asarray(single.accepts))
+    np.testing.assert_allclose(np.asarray(auto.positions),
+                               np.asarray(single.positions), atol=1e-5)
