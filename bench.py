@@ -113,12 +113,17 @@ def main() -> None:
     def produce(s):
         return produce_fn(spec, beta, s, 256, 25)
 
+    # 4 chained calls => ~0.5 s of timed device work: a single produce
+    # call is ~0.1 s and tunnel-latency noise made ess_per_s swing
+    # 1.9M-5.3M across r3/r4 runs (the CLAUDE.md timing trap, again)
     state2, obs = produce(state)
     _ = jax.device_get(state2.energy)
+    prod_calls = 4
     t0 = time.perf_counter()
-    state2, obs = produce(state2)
+    for _ in range(prod_calls):
+        state2, obs = produce(state2)
     energies = jax.device_get(obs.energy_per_particle)  # (C, T)
-    dt_prod = time.perf_counter() - t0
+    dt_prod = (time.perf_counter() - t0) / prod_calls
     ess = effective_sample_size(energies[:512])  # subsample chains for speed
     ess_per_s = ess * (NUM_CHAINS / 512) / dt_prod
 
