@@ -102,8 +102,11 @@ def bench_system(n, chains, rounds, n_leap=10, sweeps_per_round=50):
     pos = pos + jax.random.uniform(jax.random.key(5), pos.shape,
                                    minval=-0.05, maxval=0.05)
     state0 = init_chain_state(spec, pos, jax.random.key(0), 0.65)
+    # >= 150 sweeps regardless of N (5000 single-particle moves is only
+    # 39 sweeps at N=128 — not enough from a half-lattice start)
+    equil = max(5000, 150 * n)
     state0 = jax.jit(jax.vmap(
-        lambda s: run_equilibration(spec, beta, s, 5000, 500)))(state0)
+        lambda s: run_equilibration(spec, beta, s, equil, 500)))(state0)
     jax.device_get(state0.positions)
     print(f"N={n}: equilibrated {chains} chains "
           f"(E/N={float(state0.energy.mean())/n:.2f})", flush=True)
@@ -180,51 +183,58 @@ def build_verdict(rows) -> str:
     """Both-observable verdict: a sampler only 'wins' a system if it
     leads on energy ESS/s without collapsing on mean-x."""
     m = {(r["n"], r["sampler"]): r for r in rows}
+    ns = sorted({r["n"] for r in rows})
 
     def f(n, s, k):
         return m[(n, s)][k]
 
+    per_n = []
+    for n in ns:
+        e = {s: f(n, s, "energy_ess_per_s")
+             for s in ("metropolis", "mala", "hmc")}
+        x = {s: f(n, s, "meanx_ess_per_s")
+             for s in ("metropolis", "mala", "hmc")}
+        best_e = max(e, key=e.get)
+        both = best_e == max(x, key=x.get)
+        per_n.append(
+            f"N={n}: energy ESS/s {e['metropolis']:.0f} / {e['mala']:.0f} "
+            f"/ {e['hmc']:.0f} (Metropolis/MALA/HMC), mean-x "
+            f"{x['metropolis']:.0f} / {x['mala']:.0f} / {x['hmc']:.0f} — "
+            f"best {'on both observables' if both else 'on energy only'}: "
+            f"{best_e}")
     return (
-        "Verdict: the gradient samplers do NOT earn their keep as "
-        "general within-well decorrelators on this hardware.  At N=3 "
-        "plain Metropolis wins both observables outright "
-        f"({f(3,'metropolis','energy_ess_per_s'):.0f} vs "
-        f"{f(3,'mala','energy_ess_per_s'):.0f} (MALA) / "
-        f"{f(3,'hmc','energy_ess_per_s'):.0f} (HMC) energy ESS/s — "
-        "3.6-4.9x).  At N=32 HMC reaches parity on the slowest "
-        "observable (energy ESS/s "
-        f"{f(32,'hmc','energy_ess_per_s'):.0f} vs Metropolis "
-        f"{f(32,'metropolis','energy_ess_per_s'):.0f}, +7%) but loses "
-        "mean-x by ~58x "
-        f"({f(32,'hmc','meanx_ess_per_s'):.0f} vs "
-        f"{f(32,'metropolis','meanx_ess_per_s'):.0f}): whole-config "
-        "gradient steps shrink as d^(-1/4..-1/3) with dimension while "
-        "single-particle displacements stay O(1), and the TPU engine "
-        "makes the N-fold move-count advantage free (vectorized, "
-        "gradient-free).  When to use MALA/HMC here: as PT per-replica "
-        "kernels or when per-Mgrad efficiency matters (HMC beats MALA "
-        f"{f(3,'hmc','energy_ess_per_Mgrad'):.0f} vs "
-        f"{f(3,'mala','energy_ess_per_Mgrad'):.0f} ESS/Mgrad at N=3); "
-        "for raw wall-clock decorrelation the batched Metropolis engine "
-        "remains the right default at every N measured.")
+        "Verdict: "
+        + "; ".join(per_n) + ".  "
+        "Whole-config gradient steps shrink as d^(-1/4..-1/3) with "
+        "dimension while single-particle displacements stay O(1), and "
+        "the TPU engine makes the N-fold move-count advantage free "
+        "(vectorized, gradient-free) — so Metropolis holds the wall-"
+        "clock lead unless/until the gradient samplers overtake on the "
+        "slowest observable at large N (see the N=128 row).  When to "
+        "use MALA/HMC: as PT per-replica kernels or when per-Mgrad "
+        "efficiency matters (HMC beats MALA "
+        f"{f(ns[0],'hmc','energy_ess_per_Mgrad'):.0f} vs "
+        f"{f(ns[0],'mala','energy_ess_per_Mgrad'):.0f} ESS/Mgrad at "
+        f"N={ns[0]}).")
 
 
 def render_section(data) -> str:
     """The SAMPLERS.md within-well section (shared with sampler_bench)."""
+    sys_desc = " / ".join(f"{c} chains at N={n}"
+                          for n, c in data["systems"])
     lines = [SECTION_BEGIN,
              "",
              "## Within-well decorrelation (the gradient samplers' "
              "actual job)",
              "",
              "Single-well system (num_wells=1, V0=-10 — no barrier), "
-             f"{data['chains_n3']} chains at N=3 / {data['chains_n32']} at "
-             f"N=32, {data['rounds']} rounds; per round Metropolis runs 50 "
-             "sweeps (50N single-particle moves), MALA 25 whole-config "
-             "moves (50 grad evals), HMC 5 trajectories of L=10 leapfrog "
-             "steps (55 grad evals) — MALA and HMC gradient-matched to "
-             "~10%, Metropolis sweep-matched.  Fast observables (energy/N "
-             "and mean x), rank-normalized multichain ESS, burn-in first "
-             "third.",
+             f"{sys_desc}, {data['rounds']} rounds; per round Metropolis "
+             "runs 50 sweeps (50N single-particle moves), MALA 25 "
+             "whole-config moves (50 grad evals), HMC 5 trajectories of "
+             "L=10 leapfrog steps (55 grad evals) — MALA and HMC "
+             "gradient-matched to ~10%, Metropolis sweep-matched.  Fast "
+             "observables (energy/N and mean x), rank-normalized "
+             "multichain ESS, burn-in first third.",
              "",
              "| N | sampler | acceptance | energy ESS/s | mean-x ESS/s | "
              "ESS per Mgrad (energy) |",
@@ -257,18 +267,35 @@ def splice_into_samplers_md(data, path="SAMPLERS.md"):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=600)
-    ap.add_argument("--chains_n3", type=int, default=1024)
-    ap.add_argument("--chains_n32", type=int, default=256)
+    ap.add_argument("--systems", default="3:1024,32:256,128:64",
+                    help="comma list of N:chains")
+    ap.add_argument("--merge", action="store_true",
+                    help="keep rows for N values not rerun this time")
     args = ap.parse_args(argv)
 
-    rows = bench_system(3, args.chains_n3, args.rounds)
-    rows += bench_system(32, args.chains_n32, args.rounds)
+    systems = [tuple(int(v) for v in s.split(":"))
+               for s in args.systems.split(",")]
+    rows = []
+    for n, chains in systems:
+        rows += bench_system(n, chains, args.rounds)
+
+    if args.merge and os.path.exists("results/evidence/within_well.json"):
+        prev = json.load(open("results/evidence/within_well.json"))
+        prev_systems = [tuple(s) for s in prev.get(
+            "systems", [(3, prev.get("chains_n3", 1024)),
+                        (32, prev.get("chains_n32", 256))])]
+        mine = {r["n"] for r in rows}
+        rows = [r for r in prev["rows"] if r["n"] not in mine] + rows
+        rows.sort(key=lambda r: r["n"])
+        systems = sorted({s for s in prev_systems if s[0] not in mine}
+                         | set(systems))
 
     verdict = build_verdict(rows)
 
     data = {"metric": "within_well_bench", "rows": rows,
-            "rounds": args.rounds, "chains_n3": args.chains_n3,
-            "chains_n32": args.chains_n32, "verdict": verdict,
+            "rounds": args.rounds,
+            "systems": [list(s) for s in systems],
+            "verdict": verdict,
             "device": str(jax.devices()[0])}
     os.makedirs("results/evidence", exist_ok=True)
     with open("results/evidence/within_well.json", "w") as f:
