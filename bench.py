@@ -192,8 +192,9 @@ def hybrid_phase_bench(spec, beta, state) -> dict:
         return s2
 
     s = big_rounds(state)                       # compile + warmup
-    _ = jax.device_get(s.energy)
-    t0 = time.perf_counter()
+    s = big_rounds(s)                           # 2nd warmup (see train
+    _ = jax.device_get(s.energy)                # note: first executions
+    t0 = time.perf_counter()                    # of a program run slow)
     for _ in range(BIG_CALLS):
         s = big_rounds(s)
     _ = jax.device_get(s.energy)
@@ -237,15 +238,22 @@ def hybrid_phase_bench(spec, beta, state) -> dict:
         return jnp.concatenate([epoch_batches(k, data, cfg.batch_size)
                                 for k in keys])
 
-    tstate, _ = run_epochs(tstate, shuffle_all(jax.random.key(10)))
-    _ = jax.device_get(jax.tree_util.tree_leaves(tstate.params)[0])
+    # TWO warmup calls: the first 1-2 executions of a freshly compiled
+    # program run ~2x slow (measured 542 then 1089-1119 steps/s over six
+    # identical fused-scan segments, logs/train_variance_r4.log) — the
+    # 450-677 steps/s spread earlier rounds chased was this warmup tail,
+    # not dispatch jitter or chip contention.  Steady state is timed.
     batches = shuffle_all(jax.random.key(11))
+    for _ in range(2):
+        tstate, losses = run_epochs(tstate, batches)
+    _ = jax.device_get(losses[-1])
+    timed_calls = 4
     t0 = time.perf_counter()
-    for i in range(2):
+    for i in range(timed_calls):
         tstate, losses = run_epochs(tstate, batches)
     _ = jax.device_get(losses[-1])
     dt_train = time.perf_counter() - t0
-    train_steps_per_s = n_steps * epochs_timed * 2 / dt_train
+    train_steps_per_s = n_steps * epochs_timed * timed_calls / dt_train
 
     # -- roofline accounting for both phases from the compiled programs'
     #    own cost model.  Neither phase is HBM- or MXU-bound
