@@ -110,8 +110,9 @@ def calibrate_vpu_ops(iters: int = 65536, depth: int = 8,
 
 def time_engine(fn, state, repeats: int) -> float:
     out = fn(state)
-    _sync(out.positions)          # warm-up + compile, untimed
-    t0 = time.perf_counter()
+    out = fn(out)                 # 2nd warm-up: the first 1-2 executions
+    _sync(out.positions)          # of a fresh program run ~2x slow
+    t0 = time.perf_counter()      # (logs/train_variance_r4.log)
     for _ in range(repeats):
         out = fn(out)
     _sync(out.positions)

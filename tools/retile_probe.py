@@ -59,6 +59,7 @@ def time_point(spec, state, *, sweep_chunk, c_blk_override, moves_per_call,
         fast_math=True, sweep_chunk=sweep_chunk,
         c_blk_override=c_blk_override))
     s = step(state)
+    s = step(s)   # 2nd warm-up: first executions of a fresh program run slow
     _ = jax.device_get(s.energy)
     t0 = time.perf_counter()
     for _ in range(calls):
