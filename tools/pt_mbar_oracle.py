@@ -94,10 +94,16 @@ def run_for_n(n: int, args) -> dict:
     # MBAR over the pooled ladder: u_kn = beta_k * E_n
     e_n = energies.transpose(1, 0, 2).reshape(r, -1)   # (R, M) M = T*W
     m = e_n.shape[1]
-    u_kn = jnp.asarray(betas)[:, None] * jnp.asarray(e_n.reshape(-1))[None, :]
-    n_k = jnp.full((r,), m)
-    f_k = mbar_free_energies(u_kn, n_k, num_iters=args.mbar_iters)
-    log_w = np.asarray(mbar_log_weights(u_kn, n_k, f_k, 0))  # cold state
+    # x64 for the ΔF analysis (the repo convention, tempering_check.py):
+    # without it JAX silently keeps fp32 despite mbar.py's float64 casts,
+    # and over ~300k pooled samples across a 1.0-0.1 beta ladder the fp32
+    # logsumexp error is comparable to the reported SEM (r4 advisor)
+    with jax.enable_x64(True):
+        u_kn = (jnp.asarray(betas, jnp.float64)[:, None]
+                * jnp.asarray(e_n.reshape(-1), jnp.float64)[None, :])
+        n_k = jnp.full((r,), m)
+        f_k = mbar_free_energies(u_kn, n_k, num_iters=args.mbar_iters)
+        log_w = np.asarray(mbar_log_weights(u_kn, n_k, f_k, 0))  # cold
 
     na_pool = n_a.transpose(1, 0, 2).reshape(-1)
     nb_pool = n_b.transpose(1, 0, 2).reshape(-1)

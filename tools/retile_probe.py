@@ -36,7 +36,9 @@ try:
 except Exception:
     pass
 
-VPU_ROOF = 2.6726e12
+from flowstate_tpu.utils.roofs import vpu_roof
+
+VPU_ROOF = vpu_roof()  # calibrated plateau (n_scaling_data.json)
 OPS_PER_ROW_ELEM = 63  # per-move per-row-element op model (n_scaling.py)
 
 

@@ -59,6 +59,11 @@ SECTION_END = "<!-- within-well:end -->"
 
 
 def _timed(fn, *args):
+    # TWO untimed warmups: the first 1-2 executions of a fresh program run
+    # ~2x slow (the r4 warmup trap, logs/train_variance_r4.log) — a single
+    # warmup times the slow tail and understates throughput up to ~2x
+    out = fn(*args)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0])
     out = fn(*args)
     jax.device_get(jax.tree_util.tree_leaves(out)[0])
     t0 = time.perf_counter()
