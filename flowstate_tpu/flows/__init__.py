@@ -18,6 +18,7 @@ from flowstate_tpu.flows.core import (
     NormalizingFlow,
     ScannedLayers,
     build_circular_flow,
+    build_conditional_circular_flow,
     generate_samples,
 )
 from flowstate_tpu.flows.image import (
@@ -130,7 +131,8 @@ from flowstate_tpu.flows.vae import (
 
 __all__ = [
     # model
-    "NormalizingFlow", "build_circular_flow", "NormalizingFlowVAE",
+    "NormalizingFlow", "build_circular_flow",
+    "build_conditional_circular_flow", "NormalizingFlowVAE",
     "ScannedLayers", "generate_samples",
     "ConditionalNormalizingFlow", "ContextAffineCoupling", "ClassCondFlow", "MultiscaleFlow",
     # residual + image

@@ -178,6 +178,41 @@ def build_circular_flow(num_particles: int, num_dim: int, half_box: float,
     return NormalizingFlow(base=base, layers=layers, target=target)
 
 
+def build_conditional_circular_flow(block_particles: int, num_dim: int,
+                                    half_box: float,
+                                    context_features: int,
+                                    K: int = 10, hidden_units: int = 256,
+                                    num_bins: int = 16, num_blocks: int = 2,
+                                    scan_layers: bool = True
+                                    ) -> "ConditionalNormalizingFlow":
+    """Conditional circular flow over a k-particle BLOCK given the rest.
+
+    The proposal distribution of the blocked big move (``mcmc/blocked.py``):
+    a uniform torus base over the block's 2k coordinates pushed through K
+    context-conditioned circular spline couplings.  The context (periodic
+    features of the other N-k particles' coordinates) gates every
+    coupling's ResidualNet through a GLU — the conditioning machinery the
+    reference ships but never uses for proposals
+    (``NF/normflows/core.py:233-383`` + ``nets/resnet.py:48-49``).
+    """
+    from flowstate_tpu.flows.coupling import CircularSplineCoupling
+    from flowstate_tpu.flows.distributions import UniformParticle
+    from flowstate_tpu.flows.models import ConditionalNormalizingFlow
+
+    dim = block_particles * num_dim
+    base = UniformParticle(block_particles, num_dim, half_box)
+    layer = CircularSplineCoupling(
+        features=dim, num_blocks=num_blocks, hidden_units=hidden_units,
+        ind_circ=tuple(range(dim)), num_bins=num_bins,
+        tail_bound=half_box, net_type="residual",
+        context_features=context_features)
+    if scan_layers:
+        layers = (ScannedLayers(layer, K),)
+    else:
+        layers = tuple(dataclasses.replace(layer) for _ in range(K))
+    return ConditionalNormalizingFlow(base=base, layers=layers)
+
+
 @dataclasses.dataclass(frozen=True)
 class ScannedLayers:
     """K structurally-identical layers applied via ``lax.scan``.
@@ -206,33 +241,31 @@ class ScannedLayers:
         keys = jax.random.split(key, self.K)
         return jax.vmap(self.layer.init_params)(keys)
 
-    def _body(self, direction: str):
+    def _body(self, direction: str, has_context: bool):
         fn = getattr(self.layer, direction)
-        return jax.checkpoint(fn) if self.remat else fn
+        if has_context:
+            step = lambda p, z, c: fn(p, z, context=c)  # noqa: E731
+        else:
+            step = lambda p, z, c: fn(p, z)             # noqa: E731
+        return jax.checkpoint(step) if self.remat else step
 
-    def forward(self, params, z):
-        step = self._body("forward")
-
-        def body(carry, p):
-            z, ld = carry
-            z, d = step(p, z)
-            return (z, ld + d), None
-
-        ld0 = jnp.zeros_like(z[:, 0])
-        (z, ld), _ = jax.lax.scan(body, (z, ld0), params)
-        return z, ld
-
-    def inverse(self, params, z):
-        step = self._body("inverse")
+    def _scan(self, params, z, context, direction: str, reverse: bool):
+        step = self._body(direction, context is not None)
 
         def body(carry, p):
             z, ld = carry
-            z, d = step(p, z)
+            z, d = step(p, z, context)
             return (z, ld + d), None
 
         ld0 = jnp.zeros_like(z[:, 0])
-        (z, ld), _ = jax.lax.scan(body, (z, ld0), params, reverse=True)
+        (z, ld), _ = jax.lax.scan(body, (z, ld0), params, reverse=reverse)
         return z, ld
+
+    def forward(self, params, z, context=None):
+        return self._scan(params, z, context, "forward", reverse=False)
+
+    def inverse(self, params, z, context=None):
+        return self._scan(params, z, context, "inverse", reverse=True)
 
 
 def generate_samples(model: NormalizingFlow, params, key: jax.Array,

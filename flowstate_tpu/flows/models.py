@@ -81,7 +81,12 @@ class ContextAffineCoupling:
 
 @dataclasses.dataclass(frozen=True)
 class ConditionalNormalizingFlow:
-    """Flow whose layers and base take a context vector; ref core.py:233-383."""
+    """Flow whose layers and base take a context vector; ref core.py:233-383.
+
+    The base may be context-free (e.g. ``UniformParticle`` — the blocked
+    proposal's case, ``mcmc/blocked.py``): base calls fall back to the
+    context-less signature when the base does not accept one.
+    """
 
     base: Any
     layers: Tuple[Any, ...]
@@ -89,6 +94,18 @@ class ConditionalNormalizingFlow:
     def init_params(self, key: jax.Array):
         keys = jax.random.split(key, len(self.layers))
         return tuple(l.init_params(k) for l, k in zip(self.layers, keys))
+
+    def _base_log_prob(self, z, context):
+        try:
+            return self.base.log_prob(z, context)
+        except TypeError:
+            return self.base.log_prob(z)
+
+    def _base_sample(self, key, num_samples, context):
+        try:
+            return self.base.sample(key, num_samples, context)
+        except TypeError:
+            return self.base.sample(key, num_samples)
 
     def forward_and_log_det(self, params, z, context=None):
         log_det = jnp.zeros(z.shape[0], dtype=z.dtype)
@@ -106,15 +123,24 @@ class ConditionalNormalizingFlow:
 
     def log_prob(self, params, x, context=None):
         z, log_q = self.inverse_and_log_det(params, x, context)
-        return log_q + self.base.log_prob(z, context)
+        return log_q + self._base_log_prob(z, context)
 
     def forward_kld(self, params, x, context=None):
         return -jnp.mean(self.log_prob(params, x, context))
 
     def sample(self, params, key, num_samples, context=None):
-        z = self.base.sample(key, num_samples, context)
+        z = self._base_sample(key, num_samples, context)
         x, _ = self.forward_and_log_det(params, z, context)
         return x
+
+    def sample_and_log_prob(self, params, key, num_samples, context=None):
+        """Samples plus their log q(x | context) in one forward pass
+        (the fused form ``NormalizingFlow.sample_and_log_prob`` uses for
+        big moves — one flow sweep instead of sample + log_prob)."""
+        z = self._base_sample(key, num_samples, context)
+        log_q = self._base_log_prob(z, context)
+        x, log_det = self.forward_and_log_det(params, z, context)
+        return x, log_q - log_det
 
 
 @dataclasses.dataclass(frozen=True)

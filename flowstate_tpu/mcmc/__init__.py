@@ -1,5 +1,15 @@
 """Batched Metropolis MCMC engine + hybrid flow-MH moves."""
 
+from flowstate_tpu.mcmc.blocked import (
+    block_context,
+    blocked_big_moves,
+    context_dim,
+    fourier_context,
+    fourier_context_dim,
+    random_block_onehots,
+    scatter_block,
+    select_particles,
+)
 from flowstate_tpu.mcmc.hybrid import (
     BigMoveResult,
     apply_big_moves,
@@ -69,6 +79,9 @@ __all__ = [
     "run_equilibration", "run_equilibration_batch",
     "adjust_displacement", "sample_observables", "Observables",
     "nf_big_moves", "apply_big_moves", "judge_flow", "bulk_judge_flow",
+    "blocked_big_moves", "random_block_onehots", "select_particles",
+    "scatter_block", "block_context", "context_dim",
+    "fourier_context", "fourier_context_dim",
     "run_moves_pallas",
     "run_moves_auto",
     "run_production_pallas",
