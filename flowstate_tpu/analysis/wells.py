@@ -56,6 +56,28 @@ def classify_particles(positions: np.ndarray, half_box: float,
     return out
 
 
+def well_counts_device(positions, half_box: float, r0: float = 1.2):
+    """Device-side (jnp) per-config well occupation counts (n_A, n_B).
+
+    ``positions``: (..., N, 2) in the MC box frame; same classification
+    circles as :func:`classify_particles` (radius 1.1 r0, min-image PBC).
+    Meant for ``record_fn`` hooks that compute observables ON DEVICE
+    instead of shipping every replica's raw positions to the host
+    (``mcmc/tempering.py`` / the PT production driver).
+    """
+    import jax.numpy as jnp
+
+    L = 2.0 * half_box
+    radius = 1.1 * r0
+    centers = jnp.asarray(well_centers(half_box), positions.dtype)
+    d = positions[..., None, :] - centers          # (..., N, 2wells, 2)
+    d = d - L * jnp.round(d / L)
+    inside = jnp.sum(d * d, axis=-1) <= radius**2  # (..., N, 2)
+    n_a = jnp.sum(inside[..., 0], axis=-1)
+    n_b = jnp.sum(inside[..., 1], axis=-1)
+    return n_a, n_b
+
+
 def calculate_well_statistics(configurations: np.ndarray, start_idx: int,
                               half_box: float, r0: float = 1.2
                               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,

@@ -160,11 +160,22 @@ def main() -> None:
     parser.add_argument("--total_steps", type=int, default=10_000_000)
     parser.add_argument("--output_dir", type=str, default="results")
     parser.add_argument("--sampler", type=str, default="metropolis",
-                        choices=("metropolis", "mala", "hmc"),
+                        choices=("metropolis", "mala", "hmc", "pt"),
                         help="production move kernel (mala/hmc are "
-                             "beyond-reference gradient samplers)")
+                             "beyond-reference gradient samplers; pt = "
+                             "parallel tempering, dispatched to the "
+                             "experiments.tempering driver — the "
+                             "recommended sampler for N >= 8)")
     parser.add_argument("--num_leapfrog", type=int, default=10)
     args = parser.parse_args()
+    if args.sampler == "pt":
+        from flowstate_tpu.experiments import tempering
+        from flowstate_tpu.utils.config import tempering_config
+        config = tempering_config(experiment_id=args.experiment_id,
+                                  num_chains=args.num_chains,
+                                  output_dir=args.output_dir)
+        tempering.run(config, total_production_steps=args.total_steps)
+        return
     config = mcmc_only_config(experiment_id=args.experiment_id,
                               num_chains=args.num_chains,
                               output_dir=args.output_dir,

@@ -155,6 +155,24 @@ def initialise_fcc_right_half(num_particles: int = 48, rho: float = 0.5,
     return _half_lattice(num_particles, box, box.size_x / 2, box.size_x), box
 
 
+def init_split_wells(num_chains: int, num_particles: int, rho: float,
+                     aspect_ratio: float = 1.0) -> Tuple[np.ndarray, Box]:
+    """(C, N, 2) alternating left/right starts for ANY particle count.
+
+    ``init_alternating_wells`` (in-well grids) up to its 12-particle
+    limit; half-box lattices above (the N-scaling tools' convention,
+    tools/hybrid_n_scaling.py).
+    """
+    if num_particles <= 12:
+        return init_alternating_wells(num_chains, num_particles, rho,
+                                      aspect_ratio)
+    left, box = initialise_fcc_left_half(num_particles, rho, aspect_ratio)
+    right, _ = initialise_fcc_right_half(num_particles, rho, aspect_ratio)
+    pos = np.stack([left if i % 2 == 0 else right
+                    for i in range(num_chains)])
+    return pos, box
+
+
 def init_alternating_wells(num_chains: int, num_particles: int, rho: float,
                            aspect_ratio: float = 1.0
                            ) -> Tuple[np.ndarray, Box]:

@@ -48,6 +48,16 @@ class ExperimentConfig:
     sampler: str = "metropolis"
     num_leapfrog: int = 10
 
+    # parallel tempering (sampler="pt"; beyond-reference rare-event
+    # machinery, mcmc/tempering.py — RESULTS.md's recommended production
+    # sampler for N >= 8 where the global flow proposal dies)
+    pt_replicas: int = 10
+    pt_t_hot: float = 10.0
+    pt_moves_per_round: int = 150     # local moves between exchange sweeps
+    pt_ladder: str = "geometric"
+    pt_segment_rounds: int = 200      # rounds per jitted segment (the
+    #                                   checkpoint/resume granularity)
+
     # flow architecture
     K: int = 15
     hidden_units: int = 256
@@ -161,4 +171,14 @@ def mcmc_only_config(**overrides) -> ExperimentConfig:
     """Baseline MCMC preset (main_mcmc_only.py:32-59)."""
     cfg = ExperimentConfig(num_chains=100, num_training_cycles=0,
                            testing=False, big_move_attempts=0)
+    return dataclasses.replace(cfg, **overrides)
+
+
+def tempering_config(**overrides) -> ExperimentConfig:
+    """Parallel-tempering production preset (driver shape of
+    main_mcmc_only.py:33-59; the ladder defaults reproduce the
+    TEMPERING.md cross-check and the hybrid_n_scaling PT oracle)."""
+    cfg = ExperimentConfig(num_chains=50, sampler="pt",
+                           num_training_cycles=0, testing=False,
+                           big_move_attempts=0)
     return dataclasses.replace(cfg, **overrides)

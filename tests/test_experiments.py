@@ -274,6 +274,48 @@ def test_algorithm2_resume(tmp_path):
     assert "big_move_acceptance" in results
 
 
+def test_tempering_driver_smoke_and_resume(tmp_path):
+    """PT production driver: segments, observables, MBAR ΔF, resume."""
+    import json
+
+    from flowstate_tpu.experiments import tempering
+    from flowstate_tpu.utils.config import tempering_config
+
+    config = tempering_config(
+        experiment_id="pt_smoke", output_dir=str(tmp_path), num_chains=8,
+        num_particles=3, pt_replicas=4, pt_moves_per_round=20,
+        pt_segment_rounds=5, equilibration_steps=300,
+        adjusting_frequency=100)
+    results = tempering.run(config, total_production_steps=8 * 20 * 15)
+    assert results["rounds"] == 15
+    assert np.isfinite(results["df_particle_mbar"])
+    assert len(results["edge_acceptance"]) == 3
+    d = results["directory"]
+    assert os.path.exists(os.path.join(d, "segments", "seg_0002.npz"))
+    assert os.path.exists(os.path.join(d, "checkpoints", "step_00000003"))
+    assert os.path.exists(os.path.join(d, "avg_free_energy.png"))
+    ev = json.load(open(os.path.join(str(tmp_path), "evidence",
+                                     "pt_smoke_data.json")))
+    assert ev["sampler"] == "pt"
+    assert len(ev["ladder"]["betas"]) == 4
+
+    # resume with a larger budget: runs only the missing segments
+    results2 = tempering.run(config, total_production_steps=8 * 20 * 25,
+                             resume=True)
+    assert results2["rounds"] == 25
+    assert os.path.exists(os.path.join(d, "checkpoints", "step_00000005"))
+
+
+def test_tempering_driver_validates_sampler(tmp_path):
+    from flowstate_tpu.experiments import tempering
+    from flowstate_tpu.utils.config import tempering_config
+
+    config = tempering_config(experiment_id="bad", output_dir=str(tmp_path),
+                              sampler="metropolis")
+    with pytest.raises(ValueError, match="sampler='pt'"):
+        tempering.run(config)
+
+
 def test_algorithm1_premade_data(tmp_path):
     """A1 variant starting from saved NPZ data (reference's premade-data
     notebook, SURVEY.md §2.3)."""
