@@ -46,19 +46,30 @@ def main(argv=None):
     ap.add_argument("--cycles", type=int, default=150)
     ap.add_argument("--chains", type=int, default=100)
     ap.add_argument("--alphas", default="1.0,0.5")
+    ap.add_argument("--lr_list", default=None,
+                    help="comma list of learning rates: runs every "
+                         "(alpha, lr) pair and stores them under "
+                         "'lr_sweep_runs' (the r4 alpha-study confound — "
+                         "'per-alpha lr retuning could narrow the gap' — "
+                         "was never tested; this closes it)")
     ap.add_argument("--output_dir", default="results/alpha_study")
     ap.add_argument("--json_out",
                     default="results/evidence/alpha_study.json")
     args = ap.parse_args(argv)
 
+    lrs = ([float(x) for x in args.lr_list.split(",")]
+           if args.lr_list else [None])
     runs = []
     for alpha in [float(a) for a in args.alphas.split(",")]:
-        tag = f"a2_alpha_{alpha:g}"
+      for lr in lrs:
+        tag = (f"a2_alpha_{alpha:g}" if lr is None
+               else f"a2_alpha_{alpha:g}_lr_{lr:g}")
+        lr_kw = {} if lr is None else {"lr": lr}
         cfg = algorithm2_config(
             experiment_id=tag, output_dir=args.output_dir,
             num_chains=args.chains, num_training_cycles=args.cycles,
             checkpoint_interval=max(25, args.cycles // 4),
-            alpha=alpha)
+            alpha=alpha, **lr_kw)
         t0 = time.perf_counter()
         res = algorithm2.run(cfg)
         wall = time.perf_counter() - t0
@@ -66,7 +77,8 @@ def main(argv=None):
                                f"{tag}_data.json")
         ev = json.load(open(ev_path))
         runs.append({
-            "alpha": alpha, "wall_s": round(wall, 1),
+            "alpha": alpha, "lr": lr if lr is not None else cfg.lr,
+            "wall_s": round(wall, 1),
             "cycles": args.cycles, "chains": args.chains,
             "big_move_acceptance_final": res["big_move_acceptance"],
             "delta_f_mean": res.get("delta_f_mean"),
@@ -75,12 +87,19 @@ def main(argv=None):
             "loss_per_cycle": ev["loss_per_cycle"],
             "sector_counts": ev.get("sector_counts"),
         })
-        print(f"alpha={alpha}: p_acc={res['big_move_acceptance']:.4f} "
+        print(f"alpha={alpha} lr={runs[-1]['lr']:g}: "
+              f"p_acc={res['big_move_acceptance']:.4f} "
               f"dF={res.get('delta_f_mean')} wall={wall:.1f}s", flush=True)
 
-    out = {"metric": "alpha_study", "device": str(jax.devices()[0]),
-           "runs": runs}
     os.makedirs(os.path.dirname(args.json_out), exist_ok=True)
+    if args.lr_list and os.path.exists(args.json_out):
+        # lr-sweep mode appends to the existing study instead of
+        # overwriting the full-budget alpha comparison
+        out = json.load(open(args.json_out))
+        out["lr_sweep_runs"] = out.get("lr_sweep_runs", []) + runs
+    else:
+        out = {"metric": "alpha_study", "device": str(jax.devices()[0]),
+               "runs": runs}
     with open(args.json_out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"metric": "alpha_study",
