@@ -68,3 +68,39 @@ def test_setup_logger_and_metrics(tmp_path):
     logger2 = setup_logger("t_infra", log_file)
     assert logger2 is logging.getLogger("t_infra")
     assert len(logger2.handlers) <= 3
+
+
+def test_roofs_dot_flop_classifier():
+    """utils/roofs.py: HLO dot-flop counting and the two-roof split."""
+    import jax
+    import jax.numpy as jnp
+
+    from flowstate_tpu.utils.roofs import dot_flops, split_cost, vpu_roof
+
+    @jax.jit
+    def f(a, b, c):
+        return jax.nn.relu(a @ b) @ c
+
+    a = jnp.ones((64, 32))
+    b = jnp.ones((32, 48))
+    c = jnp.ones((48, 16))
+    comp = f.lower(a, b, c).compile()
+    expected = 2 * 64 * 32 * 48 + 2 * 64 * 48 * 16
+    assert dot_flops(comp) == expected
+
+    costs = split_cost(comp)
+    assert costs is not None
+    assert costs["dot_flops"] == expected
+    assert costs["vpu_flops"] == costs["flops"] - expected
+    assert costs["flops"] >= expected
+
+    # batched einsum counts batch dims correctly
+    @jax.jit
+    def g(x, y):
+        return jnp.einsum("bij,bjk->bik", x, y)
+
+    comp2 = g.lower(jnp.ones((4, 8, 16)), jnp.ones((4, 16, 8))).compile()
+    assert dot_flops(comp2) == 2 * 4 * 8 * 8 * 16
+
+    # calibrated VPU roof loads from the committed evidence file
+    assert 1e12 < vpu_roof() < 1e13
