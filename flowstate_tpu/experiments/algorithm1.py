@@ -125,6 +125,42 @@ def make_fused_testing(config: ExperimentConfig, spec, model):
     return run_testing
 
 
+def make_fused_testing_blocked(config: ExperimentConfig, spec, model,
+                               context_fn):
+    """Phase D with blocked conditional proposals (``mcmc/blocked.py``):
+    each round = {BIG_MOVE_INTERVAL local moves, then one N/k-block sweep
+    of blocked moves} — the round-5 schedule that survives N >= 8."""
+    from flowstate_tpu.mcmc import blocked_big_moves
+
+    bpr = max(1, config.num_particles // config.blocked_k)
+
+    @jax.jit
+    def run_testing(state, params, key):
+        del key  # blocked moves consume the per-chain streams in state
+
+        def round_fn(s, _):
+            s = jax.vmap(
+                lambda t: run_moves(spec, config.beta, t,
+                                    config.big_move_interval))(s)
+
+            def blk(s2, _):
+                res = blocked_big_moves(
+                    spec, config.beta, s2, model, params,
+                    config.half_box, config.blocked_k,
+                    context_fn=context_fn)
+                return res.state, res.accepted
+
+            s, accepted = jax.lax.scan(blk, s, None, length=bpr)
+            return s, (jnp.mean(accepted.astype(jnp.float32), axis=0),
+                       s.positions)
+
+        state, (accepted, positions) = jax.lax.scan(
+            round_fn, state, None, length=config.big_move_attempts)
+        return state, accepted, positions
+
+    return run_testing
+
+
 def _use_fused_testing(config: ExperimentConfig) -> bool:
     if config.fused_testing is not None:
         return bool(config.fused_testing)
@@ -166,41 +202,79 @@ def run(config: ExperimentConfig,
                 unique=len(unique))
 
     # Phase C ------------------------------------------------------------
-    model = build_circular_flow(
-        config.num_particles, config.num_dim, config.half_box, K=config.K,
-        hidden_units=config.hidden_units, num_bins=config.num_bins,
-        num_blocks=config.n_blocks, net_type=config.net_type)
+    blocked = config.blocked_k > 0
     key = jax.random.key(config.master_seed + 1)
-    params = model.init_params(key)
-    logger.info("Model prepared with %d particles and %d dimensions!",
-                config.num_particles, config.num_dim)
-
     nf_dir = os.path.join(directory, "training_rounds",
                           "initial_training_round")
     os.makedirs(nf_dir, exist_ok=True)
-    data = jnp.asarray(
-        train_configs.reshape(len(train_configs), -1).astype(np.float32))
     train_cfg = TrainConfig(batch_size=config.batch_size,
                             epochs=config.epochs, lr=config.lr,
                             weight_decay=config.weight_decay)
-    params, _, loss_hist, loss_epoch = train(
-        model, params, data, train_cfg, jax.random.key(config.master_seed + 2),
-        epoch_callback=lambda e, l: metrics.log("train_epoch", epoch=e,
-                                                loss=l))
-    plot_loss(loss_epoch, nf_dir)
-    model.save(params, os.path.join(
-        nf_dir, "initial_model_circularspline_res_dense.pkl"))
+    context_fn = None
+    if blocked:
+        # conditional flow over the k-particle block | the rest
+        # (mcmc/blocked.py; invariant Fourier-mode context)
+        from flowstate_tpu.flows import build_conditional_circular_flow
+        from flowstate_tpu.mcmc import fourier_context, fourier_context_dim
+        from flowstate_tpu.training.blocked import train_blocked
 
-    # post-training model diagnostics (ref :332-360)
-    eval_samples = model.sample(params, jax.random.key(99),
-                                min(config.num_samples_for_analysis, 50000))
-    eval_np = np.asarray(eval_samples).reshape(-1, config.num_particles, 2)
-    np.save(os.path.join(nf_dir, "samples.npy"), eval_np + config.half_box)
-    plot_frequency_heatmap(eval_np, nf_dir, config.half_box)
-    r_vals, g_r = calculate_pair_correlation(
-        eval_np, config.num_particles, config.half_box,
-        dr=config.half_box / 50)
-    plot_pair_correlation(r_vals, g_r, nf_dir)
+        m_max = config.blocked_context_modes
+        context_fn = lambda r, p: fourier_context(  # noqa: E731
+            r, p, config.half_box, m_max=m_max)
+        model = build_conditional_circular_flow(
+            config.blocked_k, config.num_dim, config.half_box,
+            context_features=fourier_context_dim(m_max), K=config.K,
+            hidden_units=config.hidden_units, num_bins=config.num_bins,
+            num_blocks=config.n_blocks)
+        params = model.init_params(key)
+        logger.info("Conditional model prepared: k=%d block of %d "
+                    "particles", config.blocked_k, config.num_particles)
+        box_frame = jnp.asarray(
+            (train_configs + config.half_box).astype(np.float32))
+        params, _, loss_epoch = train_blocked(
+            model, params, box_frame, config.blocked_k, config.half_box,
+            train_cfg, jax.random.key(config.master_seed + 2),
+            context_fn=context_fn)
+        for e, l in enumerate(loss_epoch):
+            metrics.log("train_epoch", epoch=e, loss=l)
+        plot_loss(loss_epoch, nf_dir)
+        model.save(params, os.path.join(
+            nf_dir, "initial_model_blocked_conditional.pkl"))
+    else:
+        model = build_circular_flow(
+            config.num_particles, config.num_dim, config.half_box,
+            K=config.K, hidden_units=config.hidden_units,
+            num_bins=config.num_bins, num_blocks=config.n_blocks,
+            net_type=config.net_type)
+        params = model.init_params(key)
+        logger.info("Model prepared with %d particles and %d dimensions!",
+                    config.num_particles, config.num_dim)
+
+        data = jnp.asarray(
+            train_configs.reshape(len(train_configs), -1).astype(np.float32))
+        params, _, loss_hist, loss_epoch = train(
+            model, params, data, train_cfg,
+            jax.random.key(config.master_seed + 2),
+            epoch_callback=lambda e, l: metrics.log("train_epoch", epoch=e,
+                                                    loss=l))
+        plot_loss(loss_epoch, nf_dir)
+        model.save(params, os.path.join(
+            nf_dir, "initial_model_circularspline_res_dense.pkl"))
+
+        # post-training model diagnostics (ref :332-360) — unconditional
+        # flow only (the conditional model has no context-free sampler)
+        eval_samples = model.sample(params, jax.random.key(99),
+                                    min(config.num_samples_for_analysis,
+                                        50000))
+        eval_np = np.asarray(eval_samples).reshape(
+            -1, config.num_particles, 2)
+        np.save(os.path.join(nf_dir, "samples.npy"),
+                eval_np + config.half_box)
+        plot_frequency_heatmap(eval_np, nf_dir, config.half_box)
+        r_vals, g_r = calculate_pair_correlation(
+            eval_np, config.num_particles, config.half_box,
+            dr=config.half_box / 50)
+        plot_pair_correlation(r_vals, g_r, nf_dir)
 
     # Phase D ------------------------------------------------------------
     results: Dict = {"directory": directory,
@@ -208,7 +282,24 @@ def run(config: ExperimentConfig,
     if config.testing:
         c = config.num_chains
         move_key = jax.random.key(config.master_seed + 3)
-        if _use_fused_testing(config):
+        if blocked:
+            logger.info("testing phase: blocked k=%d fused scan over %d "
+                        "rounds", config.blocked_k,
+                        config.big_move_attempts)
+            run_testing = make_fused_testing_blocked(config, spec, model,
+                                                     context_fn)
+            state, accepted_rounds, positions_rounds = run_testing(
+                state, params, move_key)
+            accepted_rounds = np.asarray(accepted_rounds)      # (R, C)
+            testing_positions = list(np.asarray(positions_rounds))
+            acc_cum = np.cumsum(accepted_rounds.sum(axis=1))
+            rounds = np.arange(1, config.big_move_attempts + 1)
+            p_acc_history = [0.0] + list(acc_cum / (c * rounds))
+            steps_history = [0] + list(rounds * config.big_move_interval * c)
+            for r in range(100, config.big_move_attempts + 1, 100):
+                metrics.log("big_move_round", round=r,
+                            p_acc=p_acc_history[r])
+        elif _use_fused_testing(config):
             logger.info("testing phase: fused on-device scan over %d rounds",
                         config.big_move_attempts)
             run_testing = make_fused_testing(config, spec, model)

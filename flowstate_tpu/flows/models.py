@@ -142,6 +142,18 @@ class ConditionalNormalizingFlow:
         x, log_det = self.forward_and_log_det(params, z, context)
         return x, log_q - log_det
 
+    # persistence (same pickle-the-pytree convention as NormalizingFlow,
+    # reference core.py:216-230)
+    def save(self, params, path: str) -> None:
+        import pickle
+        with open(path, "wb") as f:
+            pickle.dump(jax.device_get(params), f)
+
+    def load(self, path: str):
+        import pickle
+        with open(path, "rb") as f:
+            return jax.tree_util.tree_map(jnp.asarray, pickle.load(f))
+
 
 @dataclasses.dataclass(frozen=True)
 class ClassCondFlow:

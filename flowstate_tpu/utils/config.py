@@ -81,6 +81,14 @@ class ExperimentConfig:
     testing: bool = True
     big_move_attempts: int = 1000
     big_move_interval: int = 1000
+    # blocked conditional proposals (mcmc/blocked.py): 0 = global big
+    # moves (the reference schedule); k > 0 = resample k particles per
+    # move from a flow conditioned on the other N-k — the round-5
+    # sampler that survives N >= 8 (RESULTS.md "The wall, engineered
+    # past").  Algorithm 1 then trains the conditional flow in Phase C
+    # and runs blocked moves in Phase D.
+    blocked_k: int = 0
+    blocked_context_modes: int = 3   # Fourier context m_max
     # Fuse the whole testing phase into one on-device lax.scan (one
     # dispatch instead of ~4 tunnel round-trips per round).  None = auto:
     # fused when the stacked per-round positions output fits comfortably

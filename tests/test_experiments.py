@@ -306,6 +306,28 @@ def test_tempering_driver_smoke_and_resume(tmp_path):
     assert os.path.exists(os.path.join(d, "checkpoints", "step_00000005"))
 
 
+def test_algorithm1_blocked_smoke(tmp_path):
+    """A1 with blocked conditional proposals (blocked_k > 0): Phase C
+    trains the conditional flow, Phase D runs block sweeps."""
+    from flowstate_tpu.experiments import algorithm1
+
+    config = algorithm1_config(
+        experiment_id="a1_blocked", output_dir=str(tmp_path), num_chains=8,
+        num_particles=4, blocked_k=2, equilibration_steps=1000,
+        adjusting_frequency=200, initial_training_num_samples=1024,
+        sampling_frequency=10, batch_size=128, epochs=4, K=4,
+        hidden_units=32, num_bins=8, big_move_attempts=10,
+        big_move_interval=20, num_samples_for_analysis=256)
+    results = algorithm1.run(config)
+    assert np.isfinite(results["final_loss"])
+    assert 0.0 <= results["big_move_acceptance"] <= 1.0
+    d = results["directory"]
+    assert os.path.exists(os.path.join(
+        d, "training_rounds", "initial_training_round",
+        "initial_model_blocked_conditional.pkl"))
+    assert os.path.exists(os.path.join(d, "acceptance_rate_data.csv"))
+
+
 def test_tempering_driver_validates_sampler(tmp_path):
     from flowstate_tpu.experiments import tempering
     from flowstate_tpu.utils.config import tempering_config
