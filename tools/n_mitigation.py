@@ -55,6 +55,44 @@ from flowstate_tpu.ops import Box, SystemSpec
 from flowstate_tpu.training import TrainConfig, train
 
 
+def split_acceptance(spec, beta, model, params, half_box, state0,
+                     acc_rounds):
+    """Big-move acceptance measured with three SEPARATE jitted programs
+    per round + host MH arithmetic — numerically the same estimator as
+    the fused acc scan (same proposal draws, same ratio, same state
+    update), used when the fused program cannot compile through the
+    tunnel (the transformer rung)."""
+    from flowstate_tpu.ops.pair_energy import total_energy_virial
+
+    c = state0.positions.shape[0]
+    n = spec.num_particles
+    sample_fn = jax.jit(
+        lambda p, k: model.sample_and_log_prob(p, k, c))
+    logprob_fn = jax.jit(model.log_prob)
+    energy_fn = jax.jit(
+        jax.vmap(lambda p: total_energy_virial(spec, p)[0]))
+
+    positions = np.asarray(state0.positions)
+    energy = np.asarray(state0.energy)
+    rng = np.random.default_rng(7)
+    accs, rlogs = [], []
+    for rd in range(acc_rounds):
+        prop_flat, log_q_new = sample_fn(params, jax.random.key(1000 + rd))
+        proposals = np.asarray(prop_flat).reshape(c, n, 2) + half_box
+        log_q_old = np.asarray(logprob_fn(
+            params, jnp.asarray((positions - half_box).reshape(c, -1))))
+        enn = np.asarray(energy_fn(jnp.asarray(proposals)))
+        ratio_log = -beta * (enn - energy) + (log_q_old
+                                              - np.asarray(log_q_new))
+        u = rng.uniform(size=c)
+        accept = u < np.exp(np.minimum(ratio_log, 0.0))
+        positions = np.where(accept[:, None, None], proposals, positions)
+        energy = np.where(accept, enn, energy)
+        accs.append(accept.astype(np.float32))
+        rlogs.append(ratio_log)
+    return np.stack(accs), np.stack(rlogs)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
@@ -100,8 +138,16 @@ def main(argv=None):
         "epochs": dict(K=15, hidden=256, epochs=200, net="residual", data=1),
         "deeper": dict(K=23, hidden=256, epochs=200, net="residual", data=1),
         "data4x": dict(K=15, hidden=256, epochs=200, net="residual", data=4),
+        # split=True: the transformer TRAIN program compiles and runs via
+        # ScannedLayers (r5: 9.4 s compile), and sample_and_log_prob /
+        # log_prob / energies each work standalone — but the FUSED
+        # big-move program (all three in one jit) reliably wedges the
+        # remote-compile tunnel (r4: HTTP 413 after >9 min; r5: a hang
+        # needing tunnel recovery even at 64 chains).  The acceptance is
+        # therefore measured with the identical estimator split into
+        # three jitted programs per round + host MH arithmetic.
         "transformer": dict(K=15, hidden=256, epochs=100, net="transformer",
-                            data=1),
+                            data=1, split=True),
         "gnn": dict(K=15, hidden=64, epochs=100, net="gnn", data=1),
     }
 
@@ -130,16 +176,22 @@ def main(argv=None):
                                              jax.random.key(2))
             dt_train = time.perf_counter() - t0
 
-            @jax.jit
-            def acc_scan(s):
-                def body(st, _):
-                    res = nf_big_moves(spec, beta, st, model, params,
-                                       half_box)
-                    return res.state, (res.accepted.astype(jnp.float32),
-                                       res.ratio_log)
-                return jax.lax.scan(body, s, None, length=args.acc_rounds)
+            if r.get("split"):
+                acc, rlog = split_acceptance(spec, beta, model, params,
+                                             half_box, state0,
+                                             args.acc_rounds)
+            else:
+                @jax.jit
+                def acc_scan(s):
+                    def body(st, _):
+                        res = nf_big_moves(spec, beta, st, model, params,
+                                           half_box)
+                        return res.state, (res.accepted.astype(jnp.float32),
+                                           res.ratio_log)
+                    return jax.lax.scan(body, s, None,
+                                        length=args.acc_rounds)
 
-            _, (acc, rlog) = acc_scan(state0)
+                _, (acc, rlog) = acc_scan(state0)
         except Exception as e:
             # e.g. the tunnel's remote-compile request limit (HTTP 413)
             # on very large unscanned programs — record, don't die
