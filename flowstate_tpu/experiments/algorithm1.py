@@ -396,12 +396,27 @@ def run(config: ExperimentConfig,
         eq_sem = (float(np.std(finite) / np.sqrt(len(finite)))
                   if len(finite) else float("nan"))
         logger.info("Equilibrium-window delta F = %s +- %s", eq_mean, eq_sem)
+
+        # particle-level ΔF = ln(E[n_B]/E[n_A]) over the equilibrium
+        # window — the estimator that stays meaningful at N >= 8, where
+        # the reference's configuration-classification ΔF degenerates
+        # (mixed-sector configs are neither "A" nor "B")
+        from flowstate_tpu.analysis.wells import classify_particles as _cp
+        cls_eq = _cp(testing_stack[:, half:].reshape(
+            -1, config.num_particles, 2), config.half_box, config.r0)
+        n_a_eq = float(np.sum(cls_eq == 0))
+        n_b_eq = float(np.sum(cls_eq == 1))
+        df_particle = float(np.log(max(n_b_eq, 1.0) / max(n_a_eq, 1.0)))
+        logger.info("Particle-level delta F (eq window) = %.4f",
+                    df_particle)
         metrics.log("free_energy", mean=fm, sem=fsem, std=fstd,
-                    eq_mean=eq_mean, eq_sem=eq_sem)
+                    eq_mean=eq_mean, eq_sem=eq_sem,
+                    df_particle=df_particle)
         results.update({"delta_f_mean": fm, "delta_f_sem": fsem,
                         "delta_f_std": fstd,
                         "delta_f_eq_mean": eq_mean,
                         "delta_f_eq_sem": eq_sem,
+                        "df_particle": df_particle,
                         "big_move_acceptance": p_acc_history[-1]})
         from flowstate_tpu.experiments.common import (
             _thin, sector_counts, write_evidence,
@@ -410,6 +425,7 @@ def run(config: ExperimentConfig,
             "driver": "algorithm1",
             "delta_f_mean": fm, "delta_f_sem": fsem, "delta_f_std": fstd,
             "delta_f_eq_mean": eq_mean, "delta_f_eq_sem": eq_sem,
+            "df_particle": df_particle,
             "delta_f_per_chain_final": [float(f[-1]) if len(f) else None
                                         for f in free_energy_array],
             "big_move_acceptance": p_acc_history[-1],
