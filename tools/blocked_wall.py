@@ -76,7 +76,7 @@ def make_context(args, n: int, k: int, half_box: float):
 def run_for_n(n: int, args) -> dict:
     c, rounds, mpr = args.chains, args.rounds, args.moves_per_round
     spec = SystemSpec.create(n, Box.from_density(n, 0.03, 1.0), num_wells=2,
-                             V0_list=(-10.0, -10.5), r0=1.2, k=15.0)
+                             V0_list=(-10.0, -10.5), r0=args.r0, k=15.0)
     beta = 1.0
     half_box = float(spec.box.size_x) / 2
     out = {"n": n, "chains": c, "rounds": rounds, "moves_per_round": mpr,
@@ -215,6 +215,10 @@ def main(argv=None):
     ap.add_argument("--context", choices=("fourier", "coords"),
                     default="fourier")
     ap.add_argument("--m_max", type=int, default=3)
+    ap.add_argument("--r0", type=float, default=1.2,
+                    help="well radius: 1.2 = reference; larger separates "
+                         "crowding from particle count (deep-well regime "
+                         "at higher N)")
     ap.add_argument("--json_out",
                     default="results/evidence/blocked_wall.json")
     args = ap.parse_args(argv)
