@@ -148,7 +148,14 @@ def main() -> None:
         "acceptance": round(acc, 4),
         "ess_per_s": round(ess_per_s, 1),
         # the above is ENERGY-series ESS (a fast observable); the slow
-        # well-state ESS capability number lives in ESS.md (ess_check.py)
+        # well-state ESS capability number lives in ESS.md (ess_check.py).
+        # The factors are recorded separately so a run-to-run swing in
+        # the headline can be attributed to the IAT estimate vs the
+        # timed segment (r5 saw a residual ~1.5x spread; README quotes
+        # the range):
+        "ess_value": round(float(ess), 1),
+        "ess_chains_estimated": ess_chains,
+        "prod_segment_s": round(dt_prod, 4),
         "ess_observable": "energy",
         **hybrid,
         "device": str(jax.devices()[0]),
