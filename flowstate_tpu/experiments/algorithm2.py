@@ -54,6 +54,13 @@ from flowstate_tpu.utils.config import ExperimentConfig, algorithm2_config
 
 def run(config: ExperimentConfig, resume: bool = False,
         fused: bool = False, freeze_after: Optional[int] = None) -> Dict:
+    blocked = config.blocked_k > 0
+    if blocked and fused:
+        raise ValueError("blocked_k is only supported by the host-driven "
+                         "cycle loop (fused=False)")
+    if blocked and config.alpha < 1.0:
+        raise ValueError("the mixed (reverse-KLD) loss has no conditional "
+                         "form; blocked_k requires alpha=1.0")
     directory, logger, metrics = setup_experiment(config)
     spec = build_system(config)
     plot_wells(config, spec, directory)
@@ -91,16 +98,49 @@ def run(config: ExperimentConfig, resume: bool = False,
     logger.info("initial train set: %d samples", len(train_set))
 
     # model with the energy target attached -- ref :281-295
-    target = DoubleWellLJ(dim=config.dim, n_particles=config.num_particles,
-                          temperature=config.temperature,
-                          bound=config.half_box,
-                          V0_list=tuple(config.V0_list[:2]),
-                          r0=config.r0, k=config.k_val)
-    model = build_circular_flow(
-        config.num_particles, config.num_dim, config.half_box, K=config.K,
-        hidden_units=config.hidden_units, num_bins=config.num_bins,
-        num_blocks=config.n_blocks, net_type=config.net_type, target=target)
+    if blocked:
+        # conditional block flow (the round-5 N-wall sampler): trained by
+        # conditional MLE, so no energy target is attached
+        from flowstate_tpu.flows import build_conditional_circular_flow
+        from flowstate_tpu.mcmc import fourier_context, fourier_context_dim
+
+        m_max = config.blocked_context_modes
+        context_fn = lambda r, p: fourier_context(  # noqa: E731
+            r, p, config.half_box, m_max=m_max)
+        model = build_conditional_circular_flow(
+            config.blocked_k, config.num_dim, config.half_box,
+            context_features=fourier_context_dim(m_max), K=config.K,
+            hidden_units=config.hidden_units, num_bins=config.num_bins,
+            num_blocks=config.n_blocks)
+    else:
+        context_fn = None
+        target = DoubleWellLJ(dim=config.dim,
+                              n_particles=config.num_particles,
+                              temperature=config.temperature,
+                              bound=config.half_box,
+                              V0_list=tuple(config.V0_list[:2]),
+                              r0=config.r0, k=config.k_val)
+        model = build_circular_flow(
+            config.num_particles, config.num_dim, config.half_box,
+            K=config.K, hidden_units=config.hidden_units,
+            num_bins=config.num_bins, num_blocks=config.n_blocks,
+            net_type=config.net_type, target=target)
     params = model.init_params(jax.random.key(config.master_seed + 1))
+
+    def retrain(params, train_set, key):
+        """One (re)training pass; train_set is centered flat (S, dim)."""
+        if blocked:
+            from flowstate_tpu.training.blocked import train_blocked
+            configs = jnp.asarray(train_set).reshape(
+                -1, config.num_particles, 2) + config.half_box
+            params, _, loss_epoch = train_blocked(
+                model, params, configs, config.blocked_k, config.half_box,
+                train_cfg, key, context_fn=context_fn)
+            return params, loss_epoch
+        params, _, _, loss_epoch = train(model, params,
+                                         jnp.asarray(train_set),
+                                         train_cfg, key)
+        return params, loss_epoch
 
     if restored is not None:
         from flowstate_tpu.mcmc import ChainState
@@ -118,9 +158,8 @@ def run(config: ExperimentConfig, resume: bool = False,
 
     # initial training -- ref :314-331 (skipped on resume)
     if restored is None:
-        params, _, _, loss_epoch = train(
-            model, params, jnp.asarray(train_set), train_cfg,
-            jax.random.key(config.master_seed + 2))
+        params, loss_epoch = retrain(
+            params, train_set, jax.random.key(config.master_seed + 2))
         loss_per_cycle = list(loss_epoch)
     else:
         loss_per_cycle = []
@@ -220,8 +259,8 @@ def run(config: ExperimentConfig, resume: bool = False,
                 cumulative=config.cumulative_training_samples)
 
             # 3) fresh optimizer + retrain -- ref :437-456
-            params, _, _, loss_epoch = train(
-                model, params, jnp.asarray(train_set), train_cfg,
+            params, loss_epoch = retrain(
+                params, train_set,
                 jax.random.fold_in(
                     jax.random.key(config.master_seed + 4), cycle))
             loss_per_cycle.extend(loss_epoch)
@@ -241,28 +280,49 @@ def run(config: ExperimentConfig, resume: bool = False,
                 {"flow": params, "chains": state._asdict()},
                 metadata={"cycle": cycle + 1,
                           "train_set_size": len(train_set)})
-            eval_n = min(config.num_samples_for_analysis, 50000)
-            ev = np.asarray(model.sample(
-                params, jax.random.fold_in(move_key, 17), eval_n)).reshape(
-                    -1, config.num_particles, 2)
-            plot_frequency_heatmap(ev, directory, config.half_box,
-                                   base_filename=f"heatmap_cycle_{cycle+1}")
-            r_vals, g_r = calculate_pair_correlation(
-                ev[:5000], config.num_particles, config.half_box)
-            plot_pair_correlation(r_vals, g_r, directory,
-                                  base_filename=f"rdf_cycle_{cycle+1}")
+            if not blocked:   # the conditional model has no context-free
+                eval_n = min(config.num_samples_for_analysis, 50000)
+                ev = np.asarray(model.sample(
+                    params, jax.random.fold_in(move_key, 17),
+                    eval_n)).reshape(-1, config.num_particles, 2)
+                plot_frequency_heatmap(
+                    ev, directory, config.half_box,
+                    base_filename=f"heatmap_cycle_{cycle+1}")
+                r_vals, g_r = calculate_pair_correlation(
+                    ev[:5000], config.num_particles, config.half_box)
+                plot_pair_correlation(r_vals, g_r, directory,
+                                      base_filename=f"rdf_cycle_{cycle+1}")
 
-        # 5) one big move per chain -- ref :534-548
-        move_key, k_prop, k_u = jax.random.split(move_key, 3)
-        prop_flat, log_q_new = model.sample_and_log_prob(params, k_prop, c)
-        proposals = to_box_frame(prop_flat, config.num_particles,
-                                 config.half_box)
-        u = jax.random.uniform(k_u, (c,))
-        result = apply_big_moves(spec, config.beta, state, proposals,
-                                 log_q_new, model, params, config.half_box, u)
-        state = result.state
-        big_move_attempts += c
-        big_move_accepts += int(np.sum(np.asarray(result.accepted)))
+        # 5) one big move per chain -- ref :534-548 (blocked_k > 0: one
+        #    N/k block sweep of conditional moves, mcmc/blocked.py)
+        if blocked:
+            from flowstate_tpu.mcmc import blocked_big_moves
+
+            bpr = max(1, config.num_particles // config.blocked_k)
+            accepted_frac = 0.0
+            for _ in range(bpr):
+                result = blocked_big_moves(
+                    spec, config.beta, state, model, params,
+                    config.half_box, config.blocked_k,
+                    context_fn=context_fn)
+                state = result.state
+                accepted_frac += float(
+                    np.mean(np.asarray(result.accepted))) / bpr
+            big_move_attempts += c
+            big_move_accepts += accepted_frac * c
+        else:
+            move_key, k_prop, k_u = jax.random.split(move_key, 3)
+            prop_flat, log_q_new = model.sample_and_log_prob(params,
+                                                             k_prop, c)
+            proposals = to_box_frame(prop_flat, config.num_particles,
+                                     config.half_box)
+            u = jax.random.uniform(k_u, (c,))
+            result = apply_big_moves(spec, config.beta, state, proposals,
+                                     log_q_new, model, params,
+                                     config.half_box, u)
+            state = result.state
+            big_move_attempts += c
+            big_move_accepts += int(np.sum(np.asarray(result.accepted)))
         p_acc_history.append(big_move_accepts / big_move_attempts)
         training_samples_history.append(len(train_set))
 

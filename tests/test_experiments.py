@@ -328,6 +328,31 @@ def test_algorithm1_blocked_smoke(tmp_path):
     assert os.path.exists(os.path.join(d, "acceptance_rate_data.csv"))
 
 
+def test_algorithm2_blocked_smoke(tmp_path):
+    """A2 cycle loop with blocked conditional retraining (blocked_k)."""
+    from flowstate_tpu.experiments import algorithm2
+
+    config = algorithm2_config(
+        experiment_id="a2_blocked", output_dir=str(tmp_path), num_chains=8,
+        num_particles=4, blocked_k=2, equilibration_steps=300,
+        adjusting_frequency=100, sampling_frequency=5,
+        initial_training_num_samples=256, update_num_samples=256,
+        batch_size=64, epochs=2, K=3, hidden_units=16, num_bins=4,
+        num_training_cycles=4, checkpoint_interval=2,
+        num_samples_for_analysis=128, num_samples_for_free_energy=32)
+    results = algorithm2.run(config)
+    assert 0.0 <= results["big_move_acceptance"] <= 1.0
+    assert os.path.exists(os.path.join(results["directory"], "checkpoints",
+                                       "step_00000004"))
+    # gates: blocked needs the host-driven loop and a pure-MLE loss
+    with pytest.raises(ValueError, match="host-driven"):
+        algorithm2.run(config, fused=True)
+    with pytest.raises(ValueError, match="alpha=1.0"):
+        algorithm2.run(algorithm2_config(
+            experiment_id="bad", output_dir=str(tmp_path), blocked_k=2,
+            alpha=0.5))
+
+
 def test_tempering_driver_validates_sampler(tmp_path):
     from flowstate_tpu.experiments import tempering
     from flowstate_tpu.utils.config import tempering_config
