@@ -109,29 +109,39 @@ def main() -> None:
                   if jax.devices()[0].platform == "tpu"
                   else run_production_batch)
 
+    # FOUR production segments fused into ONE jitted program that returns
+    # only the energy series: with 4 separate dispatches the r5 captures
+    # still swung 5.0-15.8M — the attribution fields showed the ESS value
+    # bit-identical (396,813.2) while the timed segment varied 0.23-0.64 s
+    # because each dispatch carries only ~0.1 s of device work against
+    # ~40-400 ms of tunnel latency.  One dispatch, ~0.4 s of device work,
+    # and the dead position buffers never materialize (XLA DCE).
+    prod_segments = 4
+
     @jax.jit
     def produce(s):
-        return produce_fn(spec, beta, s, 256, 25)
+        es = []
+        for _ in range(prod_segments):
+            s, obs = produce_fn(spec, beta, s, 256, 25)
+            es.append(obs.energy_per_particle)
+        return s, jnp.concatenate(es, axis=1)
 
-    # 4 chained calls => ~0.5 s of timed device work: a single produce
-    # call is ~0.1 s and tunnel-latency noise made ess_per_s swing
-    # 1.9M-5.3M across r3/r4 runs (the CLAUDE.md timing trap, again)
-    state2, obs = produce(state)
+    state2, energies_d = produce(state)
     _ = jax.device_get(state2.energy)
-    state2, obs = produce(state2)        # 2nd warmup (program-warmup trap)
+    state2, energies_d = produce(state2)   # 2nd warmup (warmup trap)
     _ = jax.device_get(state2.energy)
-    prod_calls = 4
     t0 = time.perf_counter()
-    for _ in range(prod_calls):
-        state2, obs = produce(state2)
-    energies = jax.device_get(obs.energy_per_particle)  # (C, T)
-    dt_prod = (time.perf_counter() - t0) / prod_calls
+    state2, energies_d = produce(state2)
+    _ = jax.device_get(state2.energy)      # sync on a SMALL output —
+    dt_prod = (time.perf_counter() - t0) / prod_segments
+    # — the (C, 1024) series itself (67 MB) transfers outside the clock
+    energies = jax.device_get(energies_d)
     # 2048-chain subsample: the r3/r4 512-chain estimate left ~2x
     # run-to-run spread in the IAT itself (BENCH_r04 5.3M vs the 13.1M
     # commit capture — VERDICT r4 weak item 1); quadrupling the chains
     # halves the estimator SEM and the capture now tracks the docs
     ess_chains = 2048
-    ess = effective_sample_size(energies[:ess_chains])
+    ess = effective_sample_size(energies[:ess_chains, :256])
     ess_per_s = ess * (NUM_CHAINS / ess_chains) / dt_prod
 
     hybrid = hybrid_phase_bench(spec, beta, state)
@@ -303,6 +313,52 @@ def hybrid_phase_bench(spec, beta, state) -> dict:
         if nbytes > 0:
             out[f"{prefix}_arith_intensity"] = round(flops / nbytes, 2)
             out[f"{prefix}_hbm_frac"] = round(nbytes * rate / HBM_ROOF, 3)
+
+    # -- blocked conditional moves (mcmc/blocked.py) at the sampler's
+    #    natural regime (N=8, k=1): identity-init conditional flow —
+    #    throughput is training-independent — one move per chain per
+    #    round, ROUNDS_PER_CALL rounds per dispatch -----------------------
+    from flowstate_tpu.flows import build_conditional_circular_flow
+    from flowstate_tpu.mcmc import (
+        blocked_big_moves, fourier_context, fourier_context_dim,
+        init_chain_state,
+    )
+    from flowstate_tpu.mcmc.initialise import init_split_wells
+    from flowstate_tpu.ops import Box, SystemSpec
+
+    n_blk = 8
+    spec8 = SystemSpec.create(n_blk, Box.from_density(n_blk, 0.03, 1.0),
+                              num_wells=2, V0_list=(-10.0, -10.5), r0=1.2,
+                              k=15.0)
+    hb8 = float(spec8.box.size_x) / 2
+    cmodel = build_conditional_circular_flow(
+        1, 2, hb8, context_features=fourier_context_dim(3), K=10,
+        hidden_units=128, num_bins=16)
+    cparams = cmodel.init_params(jax.random.key(21))
+    ctx_fn = lambda r, p: fourier_context(r, p, hb8, m_max=3)  # noqa: E731
+    pos8, _ = init_split_wells(NUM_CHAINS, n_blk, 0.03)
+    st8 = init_chain_state(spec8, jnp.asarray(pos8), jax.random.key(22),
+                           0.65)
+
+    @jax.jit
+    def blocked_rounds(s1):
+        def body(carry, _):
+            return blocked_big_moves(spec8, beta, carry, cmodel, cparams,
+                                     hb8, 1, context_fn=ctx_fn).state, None
+        s2, _ = jax.lax.scan(body, s1, None, length=ROUNDS_PER_CALL)
+        return s2
+
+    s8 = blocked_rounds(st8)
+    s8 = blocked_rounds(s8)
+    _ = jax.device_get(s8.energy)
+    t0 = time.perf_counter()
+    for _ in range(BIG_CALLS):
+        s8 = blocked_rounds(s8)
+    _ = jax.device_get(s8.energy)
+    dt_blk = time.perf_counter() - t0
+    blocked_rounds_per_s = ROUNDS_PER_CALL * BIG_CALLS / dt_blk
+    out["blocked_moves_per_s"] = round(NUM_CHAINS * blocked_rounds_per_s, 1)
+    out["blocked_move_system"] = f"N={n_blk} k=1 K=10 hidden=128"
 
     try:
         p1 = jax.tree_util.tree_map(jnp.copy, params)
