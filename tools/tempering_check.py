@@ -142,32 +142,49 @@ def main(argv=None) -> dict:
                          "outside": round(sec_frac[4], 4)},
     }
 
+    # splice only THIS tool's section (the r5 production-driver section
+    # and anything else in the file survives a re-run; same idempotent
+    # marker pattern as tools/within_well_bench.py)
+    begin, end = "# TEMPERING", "<!-- tempering-check:end -->"
+    section = (
+        "# TEMPERING — replica-exchange ΔF cross-check (no flow)\n\n"
+        "Third independent measurement of ΔF = ln(P_B/P_A) on the full "
+        "3-particle\nLJ double-well system (`mcmc/tempering.py`), from "
+        "an all-in-well-A start\nthat plain β=1 MCMC cannot leave "
+        "(PARITY.md).\n\n"
+        f"| quantity | value |\n|---|---|\n"
+        f"| ladder | {args.replicas} replicas, T 1.0 → {args.t_hot} "
+        f"(geometric) |\n"
+        f"| walkers × rounds × moves/round | {args.walkers} × "
+        f"{args.rounds} × {args.moves_per_round} |\n"
+        f"| edge swap acceptance | {edge_acc.min():.3f} – "
+        f"{edge_acc.max():.3f} |\n"
+        f"| **ΔF (PT, cold replica)** | **{df:.4f} ± {sem:.4f}** |\n"
+        f"| ΔF (MBAR over all {args.replicas} replicas) | "
+        f"{df_mbar:.4f} |\n"
+        f"| ΔF exact (quadrature) | {EXACT_DF} |\n"
+        f"| ΔF (NF hybrid, RESULTS.md) | 1.4726 ± 0.057 |\n"
+        f"| sector fractions AAA/AAB/ABB/BBB | {sec_frac[0]:.4f} / "
+        f"{sec_frac[1]:.4f} / {sec_frac[2]:.4f} / {sec_frac[3]:.4f} "
+        "(exact: 0.0378 / 0.3011 / 0.4939 / 0.1672) |\n\n"
+        "Agreement across quadrature, flow-guided sampling, and "
+        "tempering validates\nboth rare-event mechanisms end to end.  "
+        "PT's sector fractions are the\nflow-free arbiter for the "
+        "full-state-space story in SECTORS.md.\n" + end + "\n")
+    try:
+        text = open(args.out).read()
+    except FileNotFoundError:
+        text = ""
+    if end in text and text.startswith(begin):
+        tail = text.split(end, 1)[1].lstrip("\n")
+        text = section + ("\n" + tail if tail else "")
+    elif not text:
+        text = section
+    else:  # legacy file without markers: keep non-header content
+        rest = text.split("\n## ", 1)
+        text = section + ("\n## " + rest[1] if len(rest) > 1 else "")
     with open(args.out, "w") as f:
-        f.write(
-            "# TEMPERING — replica-exchange ΔF cross-check (no flow)\n\n"
-            "Third independent measurement of ΔF = ln(P_B/P_A) on the full "
-            "3-particle\nLJ double-well system (`mcmc/tempering.py`), from "
-            "an all-in-well-A start\nthat plain β=1 MCMC cannot leave "
-            "(PARITY.md).\n\n"
-            f"| quantity | value |\n|---|---|\n"
-            f"| ladder | {args.replicas} replicas, T 1.0 → {args.t_hot} "
-            f"(geometric) |\n"
-            f"| walkers × rounds × moves/round | {args.walkers} × "
-            f"{args.rounds} × {args.moves_per_round} |\n"
-            f"| edge swap acceptance | {edge_acc.min():.3f} – "
-            f"{edge_acc.max():.3f} |\n"
-            f"| **ΔF (PT, cold replica)** | **{df:.4f} ± {sem:.4f}** |\n"
-            f"| ΔF (MBAR over all {args.replicas} replicas) | "
-            f"{df_mbar:.4f} |\n"
-            f"| ΔF exact (quadrature) | {EXACT_DF} |\n"
-            f"| ΔF (NF hybrid, RESULTS.md) | 1.4726 ± 0.057 |\n"
-            f"| sector fractions AAA/AAB/ABB/BBB | {sec_frac[0]:.4f} / "
-            f"{sec_frac[1]:.4f} / {sec_frac[2]:.4f} / {sec_frac[3]:.4f} "
-            "(exact: 0.0378 / 0.3011 / 0.4939 / 0.1672) |\n\n"
-            "Agreement across quadrature, flow-guided sampling, and "
-            "tempering validates\nboth rare-event mechanisms end to end.  "
-            "PT's sector fractions are the\nflow-free arbiter for the "
-            "full-state-space story in SECTORS.md.\n")
+        f.write(text)
     print(json.dumps(summary))
     return summary
 
