@@ -375,6 +375,13 @@ def hybrid_phase_bench(spec, beta, state) -> dict:
             return nf_big_moves(spec, beta, s1, model, params,
                                 half_box).state
         two_roof("big_move", big_round.lower(s).compile(), rounds_per_s)
+
+        @jax.jit
+        def blocked_round(s1):
+            return blocked_big_moves(spec8, beta, s1, cmodel, cparams,
+                                     hb8, 1, context_fn=ctx_fn).state
+        two_roof("blocked_move", blocked_round.lower(s8).compile(),
+                 blocked_rounds_per_s)
     except Exception as e:
         print(f"cost analysis unavailable: {e!r}", file=sys.stderr)
     return out
