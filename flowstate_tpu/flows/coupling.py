@@ -211,14 +211,14 @@ class CircularSplineCoupling:
 
     # ----- transforms ----------------------------------------------------
 
-    def _conditional_spline(self, params, identity_split, transform_split,
-                            inverse: bool, context=None):
-        d_tr = len(self.transform_idx)
+    def _apply_net(self, params, identity_split, context=None):
         if self.context_features:
-            raw = self._net().apply(params["net"], identity_split,
-                                    context=context)
-        else:
-            raw = self._net().apply(params["net"], identity_split)
+            return self._net().apply(params["net"], identity_split,
+                                     context=context)
+        return self._net().apply(params["net"], identity_split)
+
+    def _cond_spline_from_raw(self, raw, transform_split, inverse: bool):
+        d_tr = len(self.transform_idx)
         raw = raw.reshape(raw.shape[0], d_tr, self._param_multiplier)
         nb = self.num_bins
         # softmax pre-scaling by sqrt(hidden) (coupling.py:340-345)
@@ -231,6 +231,11 @@ class CircularSplineCoupling:
             tails=self._tails_transform, tail_bound=self.tail_bound,
             circular_tie=self.circular_tie)
         return out, sum_except_batch(logdet)
+
+    def _conditional_spline(self, params, identity_split, transform_split,
+                            inverse: bool, context=None):
+        raw = self._apply_net(params, identity_split, context=context)
+        return self._cond_spline_from_raw(raw, transform_split, inverse)
 
     def _unconditional_spline(self, params, identity_split, inverse: bool):
         u = params["uncond"]
@@ -288,6 +293,60 @@ class CircularSplineCoupling:
     def inverse(self, params, z, context=None):
         """Data -> latent (log_prob direction)."""
         return self._coupling_forward(params, z, context=context)
+
+    def paired_forward_inverse(self, p_f, p_i, z_f, x_i, context=None):
+        """One flow-forward step on ``(p_f, z_f)`` AND one flow-inverse
+        step on ``(p_i, x_i)``, with the two conditioner nets evaluated as
+        ONE batched ``(2, B, .)`` application (stacked params via vmap).
+
+        The independence-move MH ratio needs both q(x_new) (a forward
+        sweep) and q(x_old) (an inverse sweep) per proposal
+        (``mcmc/hybrid.py``; reference ``MCMC/monte_carlo.py:264-268``
+        runs them as two separate full-network passes).  The two sweeps
+        are data-independent, and within ONE coupling the conditioner is
+        the same function of (identity half, context) in both directions
+        — only the cheap elementwise spline differs — so the paired step
+        halves the serial depth of the proposal's dominant cost, the
+        K-deep coupling chain (measured serial-chain-bound on v5e:
+        bench.py two-roof accounting, no resource near 6% of roof).
+        Numerics are the same algebra as the separate passes (asserted
+        close by tests; the batched matmul may round differently).
+
+        Returns ``((y_f, log_det_f), (y_i, log_det_i))`` exactly as the
+        separate ``forward`` / ``inverse`` calls would.
+        """
+        split = self.features // 2
+        # forward direction (= _coupling_inverse): unroll, uncond-inverse,
+        # net on the post-uncond identity half, conditional spline inverse
+        xf = jnp.concatenate([z_f[:, split:], z_f[:, :split]], axis=1)
+        idf = xf[:, self.identity_idx]
+        trf = xf[:, self.transform_idx]
+        idf_out, ld_id_f = self._unconditional_spline(p_f, idf, inverse=True)
+        # inverse direction (= _coupling_forward): net on the RAW identity
+        # half, conditional spline forward, uncond-forward, roll at the end
+        idi = x_i[:, self.identity_idx]
+        tri = x_i[:, self.transform_idx]
+        idi_out, ld_id_i = self._unconditional_spline(p_i, idi,
+                                                      inverse=False)
+        net = self._net()
+        net_p2 = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]),
+                                        p_f["net"], p_i["net"])
+        ins2 = jnp.stack([idf_out, idi])
+        if self.context_features:
+            ctx2 = jnp.broadcast_to(context, (2,) + context.shape)
+            raw2 = jax.vmap(
+                lambda p, x, c: net.apply(p, x, context=c))(net_p2, ins2,
+                                                            ctx2)
+        else:
+            raw2 = jax.vmap(net.apply)(net_p2, ins2)
+        trf_out, ld_tr_f = self._cond_spline_from_raw(raw2[0], trf,
+                                                      inverse=True)
+        tri_out, ld_tr_i = self._cond_spline_from_raw(raw2[1], tri,
+                                                      inverse=False)
+        yf = self._scatter(idf_out, trf_out)
+        yi = self._scatter(idi_out, tri_out)
+        yi = jnp.concatenate([yi[:, split:], yi[:, :split]], axis=1)
+        return (yf, ld_id_f + ld_tr_f), (yi, ld_tr_i + ld_id_i)
 
 
 @dataclasses.dataclass(frozen=True)

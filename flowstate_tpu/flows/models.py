@@ -142,6 +142,31 @@ class ConditionalNormalizingFlow:
         x, log_det = self.forward_and_log_det(params, z, context)
         return x, log_q - log_det
 
+    def sample_and_log_prob_with_old(self, params, key, num_samples,
+                                     x_old, context=None):
+        """``(x_new, log_q_new, log_q_old)`` in one lockstep pass.
+
+        The blocked proposal's MH ratio (``mcmc/blocked.py``) needs
+        q(new | ctx) (forward sweep) and q(old | ctx) (inverse sweep);
+        when the stack is a single ``ScannedLayers`` both run in ONE
+        K-step scan with batched per-step conditioners
+        (``ScannedLayers.paired_forward_inverse`` — halves the serial
+        coupling-chain depth, the measured binding cost of the move).
+        Falls back to the separate passes otherwise.
+        """
+        from flowstate_tpu.flows.core import _supports_paired
+
+        z = self._base_sample(key, num_samples, context)
+        lq0 = self._base_log_prob(z, context)
+        if _supports_paired(self.layers):
+            (x_new, ld_f), (z_old, ld_i) = (
+                self.layers[0].paired_forward_inverse(
+                    params[0], z, x_old, context=context))
+            return (x_new, lq0 - ld_f,
+                    ld_i + self._base_log_prob(z_old, context))
+        x_new, ld_f = self.forward_and_log_det(params, z, context)
+        return x_new, lq0 - ld_f, self.log_prob(params, x_old, context)
+
     # persistence (same pickle-the-pytree convention as NormalizingFlow,
     # reference core.py:216-230)
     def save(self, params, path: str) -> None:

@@ -142,7 +142,8 @@ def fourier_context_dim(m_max: int = 3) -> int:
 
 def blocked_big_moves(spec: SystemSpec, beta: float, state: ChainState,
                       model, params, half_box: float,
-                      k: int, context_fn=None) -> BigMoveResult:
+                      k: int, context_fn=None,
+                      paired: bool = True) -> BigMoveResult:
     """One blocked conditional-flow move per chain, batched.
 
     ``model`` is a ``ConditionalNormalizingFlow`` over the block's 2k
@@ -176,10 +177,16 @@ def blocked_big_moves(spec: SystemSpec, beta: float, state: ChainState,
 
     old_block = select_particles(sel, state.positions) - half_box
     old_flat = old_block.reshape(c, -1)
-    log_q_old = model.log_prob(params, old_flat, context=ctx)
-
-    new_flat, log_q_new = model.sample_and_log_prob(params, k_prop, c,
-                                                    context=ctx)
+    if paired:
+        # forward (sample) + inverse (old log_prob) sweeps in ONE K-step
+        # lockstep scan — halves the serial coupling-chain depth, the
+        # measured binding cost of the move (bench.py two-roof accounting)
+        new_flat, log_q_new, log_q_old = model.sample_and_log_prob_with_old(
+            params, k_prop, c, old_flat, context=ctx)
+    else:
+        log_q_old = model.log_prob(params, old_flat, context=ctx)
+        new_flat, log_q_new = model.sample_and_log_prob(params, k_prop, c,
+                                                        context=ctx)
     new_block = new_flat.reshape(c, k, 2) + half_box
     proposals = scatter_block(sel, new_block, state.positions)
 

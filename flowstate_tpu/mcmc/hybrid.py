@@ -49,7 +49,8 @@ def to_box_frame(flat: jnp.ndarray, num_particles: int,
 
 
 def nf_big_moves(spec: SystemSpec, beta: float, state: ChainState,
-                 model, params, half_box: float) -> BigMoveResult:
+                 model, params, half_box: float,
+                 paired: bool = True) -> BigMoveResult:
     """One flow-proposed independence move per chain, batched.
 
     ``model`` / ``params``: a ``flowstate_tpu.flows.NormalizingFlow`` and its
@@ -68,32 +69,50 @@ def nf_big_moves(spec: SystemSpec, beta: float, state: ChainState,
     k_prop = jax.random.fold_in(k_move[0], 0x9E3779B9)
     u = jax.vmap(lambda k: jax.random.uniform(k, ()))(k_move)  # (C,)
 
-    # Batched proposal + its log-prob in ONE forward pass (the reference
-    # samples then calls log_prob separately — twice the flow work).
-    prop_flat, log_q_new = model.sample_and_log_prob(params, k_prop, c)
+    old_flat = to_centered(state.positions, half_box)
+    if paired:
+        # proposal sweep + old-point log_prob sweep in ONE K-step lockstep
+        # scan (sample_and_log_prob_with_old): the two sweeps are
+        # data-independent and the coupling conditioner is
+        # direction-independent, so pairing halves the serial
+        # coupling-chain depth — the measured binding cost of the round
+        # (bench.py two-roof accounting: no resource above 6% of roof)
+        prop_flat, log_q_new, log_q_old = model.sample_and_log_prob_with_old(
+            params, k_prop, c, old_flat)
+    else:
+        # Batched proposal + its log-prob in ONE forward pass (the
+        # reference samples then calls log_prob separately — twice the
+        # flow work), old log-prob as a second sweep.
+        prop_flat, log_q_new = model.sample_and_log_prob(params, k_prop, c)
+        log_q_old = None
     proposals = to_box_frame(prop_flat, spec.num_particles, half_box)
 
     return apply_big_moves(spec, beta,
                            state._replace(key=new_chain_keys),
-                           proposals, log_q_new, model, params, half_box, u)
+                           proposals, log_q_new, model, params, half_box, u,
+                           log_q_old=log_q_old)
 
 
 def apply_big_moves(spec: SystemSpec, beta: float, state: ChainState,
                     proposals: jnp.ndarray, log_q_new: jnp.ndarray,
                     model, params, half_box: float,
-                    u: jnp.ndarray) -> BigMoveResult:
+                    u: jnp.ndarray,
+                    log_q_old: jnp.ndarray = None) -> BigMoveResult:
     """MH accept/reject for externally supplied proposals (C, N, 2).
 
     Used both by ``nf_big_moves`` and by Algorithm 1's testing phase where
     proposals come from a pre-generated sample bank
-    (main_algorithm_1.py:376-395).
+    (main_algorithm_1.py:376-395).  ``log_q_old`` may be supplied when the
+    caller already computed it (the paired lockstep pass); otherwise it is
+    evaluated here with an inverse flow sweep.
     """
     eno = state.energy
     viro = state.virial
     enn, virn = jax.vmap(lambda p: total_energy_virial(spec, p))(proposals)
 
-    old_flat = to_centered(state.positions, half_box)
-    log_q_old = model.log_prob(params, old_flat)
+    if log_q_old is None:
+        old_flat = to_centered(state.positions, half_box)
+        log_q_old = model.log_prob(params, old_flat)
 
     delta_e = enn - eno
     # Independence-sampler MH ratio:

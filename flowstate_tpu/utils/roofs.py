@@ -124,11 +124,15 @@ _DOT_RE = re.compile(
     r".*?lhs_contracting_dims=\{([\d,]*)\}")
 # the TPU backend lowers dot_general to a convolution instruction with
 # matmul dim labels (observed on v5e: "convolution(%lhs, %rhs),
-# dim_labels=bf_io->bf"); the contracted extent is the lhs 'f' dim
+# dim_labels=bf_io->bf"); a BATCHED dot_general (e.g. the paired
+# lockstep pass's (2, B, F) direction-stacked conditioner matmuls,
+# flows/coupling.py) lowers with the batch axis as a dilated spatial dim:
+# "dim_labels=0bf_0io->0bf".  Either way the contracted extent is the
+# lhs 'f' dim, at index len(spatial prefix) + 1.
 _CONV_DOT_RE = re.compile(
     r"=\s*[a-z0-9]+\[([\d,]*)\]\S*\s+convolution\("
     r"(?:[a-z0-9]+\[[\d,]*\]\S*\s+)?%([\w.\-]+)"
-    r".*?dim_labels=bf_io->bf")
+    r".*?dim_labels=(\d*)bf_\d*io->\d*bf")
 
 
 def _prod(dims) -> int:
@@ -172,7 +176,8 @@ def dot_flops(compiled) -> float:
         if m:
             out_dims = [int(d) for d in m.group(1).split(",") if d]
             lhs_dims = shapes.get(m.group(2), [])
-            k = lhs_dims[1] if len(lhs_dims) == 2 else 1  # 'bf': f is dim 1
+            f_idx = len(m.group(3)) + 1   # ['0'*]b f: f follows the prefix
+            k = (lhs_dims[f_idx] if len(lhs_dims) == f_idx + 1 else 1)
             total += 2.0 * _prod(out_dims) * k
     return total
 

@@ -287,3 +287,51 @@ def test_blocked_pairs_shapes():
     assert x.shape == (s, 2 * k)
     assert ctx.shape == (s, context_dim(n, k))
     assert float(jnp.abs(x).max()) <= hb + 1e-5
+
+
+def test_paired_lockstep_matches_separate_passes():
+    """sample_and_log_prob_with_old (ONE K-step lockstep scan, batched
+    per-step conditioners) must agree with the separate forward + inverse
+    sweeps — same keys, same algebra, only batched-matmul rounding."""
+    n, k = 5, 2
+    model, params = _perturbed_flow(n, k, seed=4)
+    b = 32
+    ctx = jax.random.normal(jax.random.key(30), (b, context_dim(n, k)))
+    x_old = jax.random.uniform(jax.random.key(31), (b, 2 * k),
+                               minval=-5.0, maxval=5.0)
+    key = jax.random.key(32)
+    x_new, lq_new, lq_old = model.sample_and_log_prob_with_old(
+        params, key, b, x_old, context=ctx)
+    x_sep, lq_sep = model.sample_and_log_prob(params, key, b, context=ctx)
+    lq_old_sep = model.log_prob(params, x_old, context=ctx)
+    np.testing.assert_allclose(np.asarray(x_new), np.asarray(x_sep),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lq_new), np.asarray(lq_sep),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(lq_old), np.asarray(lq_old_sep),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_blocked_big_moves_paired_equals_unpaired():
+    n, k = 6, 2
+    spec = _spec(n)
+    hb = float(spec.box.size_x) / 2
+    model = build_conditional_circular_flow(
+        k, 2, hb, context_features=context_dim(n, k), K=3,
+        hidden_units=16, num_bins=4)
+    params = model.init_params(jax.random.key(33))
+    c = 64
+    pos = jax.random.uniform(jax.random.key(34), (c, n, 2),
+                             maxval=2 * hb)
+    state = init_chain_state(spec, pos, jax.random.key(35), 0.5)
+    r_p = blocked_big_moves(spec, 1.0, state, model, params, hb, k,
+                            paired=True)
+    r_u = blocked_big_moves(spec, 1.0, state, model, params, hb, k,
+                            paired=False)
+    np.testing.assert_array_equal(np.asarray(r_p.accepted),
+                                  np.asarray(r_u.accepted))
+    np.testing.assert_allclose(np.asarray(r_p.ratio_log),
+                               np.asarray(r_u.ratio_log), atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_p.state.positions),
+                               np.asarray(r_u.state.positions), atol=1e-5)

@@ -117,3 +117,52 @@ def test_wrong_sign_would_fail():
     # inverted-correction stationary solves pi_i q_i flux balance:
     inverted = ((1 - p) * (1 - s)) / (p * s)
     assert abs(np.log(correct) - np.log(inverted)) > 1.0
+
+
+def test_global_paired_lockstep_matches_separate_passes():
+    """NormalizingFlow.sample_and_log_prob_with_old (the paired lockstep
+    scan behind nf_big_moves) must agree with the separate forward +
+    inverse sweeps, and nf_big_moves(paired=True/False) must make the
+    same decisions."""
+    from flowstate_tpu.flows import build_circular_flow
+    from flowstate_tpu.mcmc import nf_big_moves
+
+    n, hb = 3, 5.0
+    model = build_circular_flow(n, 2, hb, K=4, hidden_units=16,
+                                num_bins=4, num_blocks=2)
+    params = model.init_params(jax.random.key(40))
+    # perturb so the flow is non-identity
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.key(41), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        l + 0.3 * jax.random.normal(kk, l.shape)
+        for l, kk in zip(leaves, keys)])
+
+    b = 32
+    x_old = jax.random.uniform(jax.random.key(42), (b, 2 * n),
+                               minval=-hb, maxval=hb)
+    key = jax.random.key(43)
+    x_new, lq_new, lq_old = model.sample_and_log_prob_with_old(
+        params, key, b, x_old)
+    x_sep, lq_sep = model.sample_and_log_prob(params, key, b)
+    np.testing.assert_allclose(np.asarray(x_new), np.asarray(x_sep),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lq_new), np.asarray(lq_sep),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(lq_old),
+                               np.asarray(model.log_prob(params, x_old)),
+                               atol=1e-4, rtol=1e-4)
+
+    spec = SystemSpec.create(n, Box.from_density(n, 0.03, 1.0),
+                             num_wells=2, V0_list=(-10.0, -10.5), r0=1.2,
+                             k=15.0)
+    pos = jax.random.uniform(jax.random.key(44), (b, n, 2),
+                             maxval=2 * hb)
+    state = init_chain_state(spec, pos, jax.random.key(45), 0.5)
+    r_p = nf_big_moves(spec, 1.0, state, model, params, hb, paired=True)
+    r_u = nf_big_moves(spec, 1.0, state, model, params, hb, paired=False)
+    np.testing.assert_array_equal(np.asarray(r_p.accepted),
+                                  np.asarray(r_u.accepted))
+    np.testing.assert_allclose(np.asarray(r_p.ratio_log),
+                               np.asarray(r_u.ratio_log), atol=1e-4,
+                               rtol=1e-4)
