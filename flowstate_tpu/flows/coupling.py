@@ -307,8 +307,9 @@ class CircularSplineCoupling:
         the same function of (identity half, context) in both directions
         — only the cheap elementwise spline differs — so the paired step
         halves the serial depth of the proposal's dominant cost, the
-        K-deep coupling chain (measured serial-chain-bound on v5e:
-        bench.py two-roof accounting, no resource near 6% of roof).
+        K-deep coupling chain (+10% measured round rate on v5e; the
+        loop-corrected two-roof accounting, ARCHITECTURE.md §2, shows
+        the round near combined VPU+MXU saturation).
         Numerics are the same algebra as the separate passes (asserted
         close by tests; the batched matmul may round differently).
 

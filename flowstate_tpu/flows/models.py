@@ -151,7 +151,7 @@ class ConditionalNormalizingFlow:
         when the stack is a single ``ScannedLayers`` both run in ONE
         K-step scan with batched per-step conditioners
         (``ScannedLayers.paired_forward_inverse`` — halves the serial
-        coupling-chain depth, the measured binding cost of the move).
+        coupling-chain depth — the move's dominant cost; +10% measured).
         Falls back to the separate passes otherwise.
         """
         from flowstate_tpu.flows.core import _supports_paired

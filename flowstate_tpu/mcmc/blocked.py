@@ -180,7 +180,7 @@ def blocked_big_moves(spec: SystemSpec, beta: float, state: ChainState,
     if paired:
         # forward (sample) + inverse (old log_prob) sweeps in ONE K-step
         # lockstep scan — halves the serial coupling-chain depth, the
-        # measured binding cost of the move (bench.py two-roof accounting)
+        # move's dominant cost (+10% measured round rate)
         new_flat, log_q_new, log_q_old = model.sample_and_log_prob_with_old(
             params, k_prop, c, old_flat, context=ctx)
     else:

@@ -75,8 +75,9 @@ def nf_big_moves(spec: SystemSpec, beta: float, state: ChainState,
         # scan (sample_and_log_prob_with_old): the two sweeps are
         # data-independent and the coupling conditioner is
         # direction-independent, so pairing halves the serial
-        # coupling-chain depth — the measured binding cost of the round
-        # (bench.py two-roof accounting: no resource above 6% of roof)
+        # coupling-chain depth (+10% measured round rate; the corrected
+        # two-roof accounting, ARCHITECTURE.md §2, shows the round's
+        # arithmetic already ~80% VPU / ~60% MXU busy)
         prop_flat, log_q_new, log_q_old = model.sample_and_log_prob_with_old(
             params, k_prop, c, old_flat)
     else:

@@ -126,13 +126,15 @@ _DOT_RE = re.compile(
 # matmul dim labels (observed on v5e: "convolution(%lhs, %rhs),
 # dim_labels=bf_io->bf"); a BATCHED dot_general (e.g. the paired
 # lockstep pass's (2, B, F) direction-stacked conditioner matmuls,
-# flows/coupling.py) lowers with the batch axis as a dilated spatial dim:
-# "dim_labels=0bf_0io->0bf".  Either way the contracted extent is the
-# lhs 'f' dim, at index len(spatial prefix) + 1.
+# flows/coupling.py) lowers with the batch axis as a dilated spatial dim
+# ("dim_labels=0bf_0io->0bf"), and GRADIENT matmuls (jax.vjp of a dense
+# layer) as the transpose forms "fb_io->bf" (param grad) and
+# "bf_oi->bf" (input grad).  In every form the contracted extent is the
+# lhs 'f' dim: index = len(spatial prefix) + (1 if labels are 'bf').
 _CONV_DOT_RE = re.compile(
     r"=\s*[a-z0-9]+\[([\d,]*)\]\S*\s+convolution\("
     r"(?:[a-z0-9]+\[[\d,]*\]\S*\s+)?%([\w.\-]+)"
-    r".*?dim_labels=(\d*)bf_\d*io->\d*bf")
+    r".*?dim_labels=(\d*)(bf|fb)_\d*(?:io|oi)->\d*bf")
 
 
 def _prod(dims) -> int:
@@ -176,8 +178,9 @@ def dot_flops(compiled) -> float:
         if m:
             out_dims = [int(d) for d in m.group(1).split(",") if d]
             lhs_dims = shapes.get(m.group(2), [])
-            f_idx = len(m.group(3)) + 1   # ['0'*]b f: f follows the prefix
-            k = (lhs_dims[f_idx] if len(lhs_dims) == f_idx + 1 else 1)
+            prefix = len(m.group(3))
+            f_idx = prefix + (1 if m.group(4) == "bf" else 0)
+            k = (lhs_dims[f_idx] if len(lhs_dims) == prefix + 2 else 1)
             total += 2.0 * _prod(out_dims) * k
     return total
 
@@ -187,6 +190,14 @@ def split_cost(compiled) -> Optional[dict]:
 
     Returns ``{"flops", "dot_flops", "vpu_flops", "bytes"}`` or None when
     the backend exposes no cost analysis.
+
+    LOOP CAVEAT (measured, r5b): XLA's ``cost_analysis()`` counts a
+    ``while`` body ONCE, independent of trip count — a ``lax.scan`` over
+    K layers reports ~1/K of the program's real flops (verified: a
+    scanned matmul reports identical flops at length 2 and 20;
+    ``tests/test_utils_infra.py``).  For programs whose cost is
+    dominated by a scan, lower the loop BODY separately and combine with
+    :func:`combine_loop_cost` — bench.py does this for the flow phases.
     """
     try:
         cost = compiled.cost_analysis()
@@ -203,3 +214,17 @@ def split_cost(compiled) -> Optional[dict]:
     return {"flops": flops, "dot_flops": dots,
             "vpu_flops": flops - dots,
             "bytes": float(cost.get("bytes accessed", 0.0))}
+
+
+def combine_loop_cost(outer: dict, body: dict, extra_trips: int) -> dict:
+    """Correct a scanned program's cost for the while-body-once caveat.
+
+    ``outer`` = :func:`split_cost` of the full program (its scan body
+    counted once); ``body`` = :func:`split_cost` of the loop body lowered
+    as its own program; ``extra_trips`` = trip count minus the one body
+    already counted.  Fusion differs slightly between the isolated body
+    and the in-loop body, so this is a close estimate, not an exact
+    count — the systematic error is ~1/K, versus ~K without the
+    correction.
+    """
+    return {k: outer[k] + extra_trips * body.get(k, 0.0) for k in outer}

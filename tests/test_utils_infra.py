@@ -104,3 +104,36 @@ def test_roofs_dot_flop_classifier():
 
     # calibrated VPU roof loads from the committed evidence file
     assert 1e12 < vpu_roof() < 1e13
+
+
+def test_cost_analysis_counts_scan_body_once():
+    """The while-body-once caveat that bench.py's loop-corrected
+    accounting exists for: cost_analysis reports the SAME flops for a
+    scan of length 2 and 20 (so a K-layer scanned flow understates ~K-
+    fold), and combine_loop_cost restores the missing trips."""
+    import jax
+    import jax.numpy as jnp
+
+    from flowstate_tpu.utils.roofs import combine_loop_cost, split_cost
+
+    def make(K):
+        @jax.jit
+        def f(x, w):
+            def body(c, _):
+                return jnp.tanh(c @ w), None
+            out, _ = jax.lax.scan(body, x, None, length=K)
+            return out
+        return f
+
+    x = jnp.ones((64, 64))
+    w = jnp.ones((64, 64))
+    c2 = split_cost(make(2).lower(x, w).compile())
+    c20 = split_cost(make(20).lower(x, w).compile())
+    assert c2["flops"] == c20["flops"]          # the caveat, pinned
+    assert c2["dot_flops"] == c20["dot_flops"]
+
+    body = split_cost(
+        jax.jit(lambda a, b: jnp.tanh(a @ b)).lower(x, w).compile())
+    fixed = combine_loop_cost(c20, body, 19)
+    # the corrected dot count is 20 matmuls (each 2*64^3)
+    assert abs(fixed["dot_flops"] - 20 * 2 * 64**3) / (20 * 2 * 64**3) < 0.01

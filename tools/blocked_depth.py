@@ -1,10 +1,10 @@
 """Conditional-flow depth sweep: how shallow can the blocked proposal go?
 
-The round-5 two-roof accounting (bench.py, logs/bench_r5_blocked_roof.log)
-showed the blocked-move round is bound by the SERIAL K-deep coupling chain
-— 35% HBM / 5.6% VPU / 3.6% MXU, no resource near roof — so flow depth is
-the direct throughput lever: sample + old-log_prob cost ~2K serial coupling
-evaluations per round.  This tool asks whether the production config
+The blocked-move round's cost is the K-deep coupling chain (per the
+loop-corrected two-roof accounting the round runs at 40% VPU / 32% MXU,
+ARCHITECTURE.md §2), so flow depth is the direct throughput lever: the
+paired sample + old-log_prob pass costs K serial coupling steps, each
+with ~2 conditioner-net applications.  This tool asks whether the production config
 (K=10, from the global-flow default) is deeper than the 2-dim k=1
 conditional target needs: per K it trains the conditional flow on the
 same PT oracle data, gates correctness (acceptance, well-ESS, particle
@@ -153,8 +153,9 @@ def main(argv=None):
                 k, 2, half_box, context_features=ctx_dim, K=K,
                 hidden_units=hidden, num_bins=args.bins, num_blocks=2)
             params = model.init_params(jax.random.key(1))
-            tcfg = TrainConfig(batch_size=512, epochs=args.epochs,
-                               lr=args.lr)
+            tcfg = TrainConfig(
+                batch_size=min(512, int(data_pt.shape[0])),
+                epochs=args.epochs, lr=args.lr)
             t0 = time.perf_counter()
             params, _, loss_epoch = train_blocked(
                 model, params, data_pt, k, half_box, tcfg,
