@@ -223,9 +223,9 @@ def run(config: ExperimentConfig,
             r, p, config.half_box, m_max=m_max)
         model = build_conditional_circular_flow(
             config.blocked_k, config.num_dim, config.half_box,
-            context_features=fourier_context_dim(m_max), K=config.K,
-            hidden_units=config.hidden_units, num_bins=config.num_bins,
-            num_blocks=config.n_blocks)
+            context_features=fourier_context_dim(m_max),
+            K=config.blocked_K, hidden_units=config.hidden_units,
+            num_bins=config.num_bins, num_blocks=config.n_blocks)
         params = model.init_params(key)
         logger.info("Conditional model prepared: k=%d block of %d "
                     "particles", config.blocked_k, config.num_particles)

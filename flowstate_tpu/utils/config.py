@@ -89,6 +89,14 @@ class ExperimentConfig:
     # and runs blocked moves in Phase D.
     blocked_k: int = 0
     blocked_context_modes: int = 3   # Fourier context m_max
+    # Depth of the conditional flow (the global ``K`` is a separate
+    # knob).  The 2k-dim conditional target needs far less depth than
+    # the global flow: the r5b sweep (tools/blocked_depth.py, N=8 k=1)
+    # measured acceptance 0.207 at K=6 vs 0.221 at K=10 with +35% move
+    # throughput and the best hybrid well-ESS/s — 6 is the measured
+    # production depth.  (The r5 hardware validations a1_blocked_n8/
+    # a2_blocked_n8 predate this knob and ran at the global K.)
+    blocked_K: int = 6
     # Fuse the whole testing phase into one on-device lax.scan (one
     # dispatch instead of ~4 tunnel round-trips per round).  None = auto:
     # fused when the stacked per-round positions output fits comfortably
